@@ -1,0 +1,160 @@
+"""Typed configuration for splice_tpu.
+
+Mirrors the reference flat YAML key set (reference: conf/default/config.yaml:1-39,
+loaded at train.py:16-22) so reference configs load unchanged, while adding
+TPU-specific knobs (precision, crop canvas policy, mesh axes, checkpointing).
+
+Unlike the reference — which hardcodes the config path and only lets the CLI
+override ``dataroot`` (reference train.py:16-22) — every key here is overridable
+from the CLI (``--key value``) and from YAML.
+"""
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Any, Optional, Sequence
+
+import yaml
+
+
+@dataclasses.dataclass
+class Config:
+    # --- reference-parity keys (conf/default/config.yaml) ---
+    seed: int = -1                      # -1 → random seed (reference train.py:25-27)
+    dataroot: str = "./datasets/splicing/cows"
+    direction: str = "AtoB"             # AtoB | BtoA (reference Dataset.py:53-54)
+    A_resize: int = -1                  # shorter-side resize of A, -1 = off
+    B_resize: int = -1
+    use_augmentations: bool = True
+
+    global_A_crops_n_crops: int = 1
+    global_A_crops_min_cover: float = 0.95
+    global_B_crops_n_crops: int = 1
+    global_B_crops_min_cover: float = 0.95
+
+    init_type: str = "xavier"           # normal | xavier | kaiming | orthogonal
+    init_gain: float = 0.02
+
+    lambda_global_cls: float = 10.0
+    lambda_global_ssim: float = 1.0
+    lambda_global_identity: float = 1.0
+    entire_A_every: int = 75
+    lambda_entire_cls: float = 10.0
+    lambda_entire_ssim: float = 1.0
+
+    dino_model_name: str = "dino_vitb8"
+    dino_global_patch_size: int = 224   # loss-side resize target (reference losses.py:20)
+
+    cls_warmup: int = 1
+    n_epochs: int = 10000
+    scheduler_policy: str = "none"      # linear | step | plateau | cosine | none
+    scheduler_n_epochs_decay: int = 8
+    scheduler_lr_decay_iters: int = 300
+
+    optimizer: str = "adam"             # adam | rmsprop | sgd
+    optimizer_beta1: float = 0.0
+    optimizer_beta2: float = 0.99
+    lr: float = 2e-3
+
+    log_images_freq: int = 10
+
+    # --- TPU-native additions ---
+    # Frozen-ViT weights: path to a ported checkpoint (.npz, see
+    # tools/port_dino_weights.py). None → deterministic random init (the
+    # pipeline still runs end to end; feature quality needs real weights).
+    vit_weights: Optional[str] = None
+    # Compute dtype for the frozen ViT tower ("bfloat16" rides the MXU at 2x;
+    # layernorm/softmax/gram stay fp32 regardless). Generator is always fp32.
+    vit_compute_dtype: str = "bfloat16"
+    # Use the Pallas fused-attention kernel inside the ViT (fallback: XLA).
+    use_pallas_attention: bool = True
+    # Static crop canvas. The reference samples a fresh crop size every step
+    # (reference transforms.py:22-23) which would retrigger XLA compilation; we
+    # instead crop-and-resize on device onto a static square canvas of side
+    # `crop_canvas` (0 → auto: min(H, W) rounded down to a multiple of 32).
+    crop_canvas: int = 0
+    # Resize antialiasing. Old torchvision tensor-Resize (the reference era)
+    # did not antialias; modern versions do. True is higher quality.
+    antialias: bool = True
+    # Image-side resize cap, reference losses.py:20 Resize(224, max_size=480).
+    dino_global_max_size: int = 480
+    # Checkpointing (new capability; the reference never saves weights,
+    # SURVEY.md §5). 0 disables.
+    checkpoint_every: int = 0
+    checkpoint_dir: Optional[str] = None
+    resume_from: Optional[str] = None
+    # Metrics JSONL path (None → <dataroot>/out/metrics.jsonl).
+    metrics_path: Optional[str] = None
+    # Remat the ViT blocks (trade FLOPs for HBM; needed at high res).
+    remat_vit: bool = True
+    # Multi-pair scale-out: optimize `n_pairs` independent image pairs inside
+    # one compiled step, sharded over the `dp` mesh axis (SURVEY.md §5).
+    n_pairs: int = 1
+    mesh_dp: int = 1                    # data-parallel axis size (pairs)
+    mesh_tp: int = 1                    # tensor-parallel axis size (ViT heads)
+    # Video mode: treat dataroot/A as a frame directory; warm-start each
+    # frame's generator from the previous frame (BASELINE.json config 4).
+    video_mode: bool = False
+
+    def validate(self) -> "Config":
+        assert self.direction in ("AtoB", "BtoA"), self.direction
+        assert self.init_type in ("normal", "xavier", "kaiming", "orthogonal")
+        assert self.scheduler_policy in ("linear", "step", "plateau", "cosine", "none")
+        assert self.optimizer in ("adam", "rmsprop", "sgd")
+        assert self.vit_compute_dtype in ("bfloat16", "float32")
+        assert self.global_A_crops_n_crops >= 1 and self.global_B_crops_n_crops >= 1
+        assert 0.0 < self.global_A_crops_min_cover <= 1.0
+        assert 0.0 < self.global_B_crops_min_cover <= 1.0
+        return self
+
+
+_FIELDS = {f.name: f for f in dataclasses.fields(Config)}
+
+
+def _coerce(name: str, value: Any) -> Any:
+    f = _FIELDS[name]
+    if value is None:
+        return None
+    t = f.type
+    if t in ("int", int):
+        return int(value)
+    if t in ("float", float):
+        return float(value)
+    if t in ("bool", bool):
+        if isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if t in ("str", str):
+        return str(value)
+    return value  # Optional[str] etc.
+
+
+def load_config(path: Optional[str] = None,
+                overrides: Optional[dict] = None) -> Config:
+    """Build a Config from (optional) YAML + (optional) override dict."""
+    data: dict = {}
+    if path is not None:
+        with open(path) as f:
+            data.update(yaml.safe_load(f) or {})
+    if overrides:
+        data.update({k: v for k, v in overrides.items() if v is not None})
+    unknown = set(data) - set(_FIELDS)
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return Config(**{k: _coerce(k, v) for k, v in data.items()}).validate()
+
+
+def add_cli_args(parser) -> None:
+    """Register every config field as a --flag (CLI > YAML > default)."""
+    for f in dataclasses.fields(Config):
+        parser.add_argument(f"--{f.name}", type=str, default=None)
+
+
+def config_from_cli(args, config_path: Optional[str] = None) -> Config:
+    overrides = {f.name: getattr(args, f.name, None)
+                 for f in dataclasses.fields(Config)}
+    path = config_path
+    default = pathlib.Path("conf/default/config.yaml")
+    if path is None and default.exists():
+        path = str(default)
+    return load_config(path, overrides)

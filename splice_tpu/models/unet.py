@@ -1,0 +1,351 @@
+"""DIP-style skip U-Net generator, TPU-native (NHWC, functional, stateless).
+
+Capability-parity with the reference generator (reference models/unet/skip.py
+:4-102, common.py:11-124, downsampler.py:5-135, networks.py:24-58): same
+topology — per scale a 1x1 skip branch and a stride-2 down branch, recursive
+deeper stack, bilinear x2 upsample, center-crop concat, BatchNorm everywhere,
+LeakyReLU(0.2), optional extra 1x1 up-conv, final 1x1 conv + Sigmoid — but
+built as a pure function over an explicit param pytree instead of
+monkey-patched nested nn.Sequential (reference common.py:6-9).
+
+BatchNorm note: the reference only ever runs the generator in train mode
+(never calls .eval(); even the logging forward at train.py:72-73 uses batch
+stats), so running statistics are dead state. We therefore implement BN as a
+stateless normalize-by-current-batch-stats op — no mutable state, which is
+exactly what jit/vmap want (SURVEY.md §2 parity checklist, BatchNorm item).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SkipConfig:
+    """Mirrors the reference `skip()` signature (reference skip.py:4-15)."""
+    num_input_channels: int = 3
+    num_output_channels: int = 3
+    channels_down: Tuple[int, ...] = (16, 32, 64, 128, 128)
+    channels_up: Tuple[int, ...] = (16, 32, 64, 128, 128)
+    channels_skip: Tuple[int, ...] = (4, 4, 4, 4, 4)
+    filter_size_down: Union[int, Tuple[int, ...]] = 3
+    filter_size_up: Union[int, Tuple[int, ...]] = 3
+    filter_skip_size: int = 1
+    need_sigmoid: bool = True
+    need_tanh: bool = False
+    need_bias: bool = True
+    pad: str = "zero"               # zero | reflection
+    upsample_mode: str = "bilinear"  # nearest | bilinear
+    downsample_mode: str = "stride"  # stride | avg | max | lanczos2 | lanczos3
+    act_fun: str = "LeakyReLU"       # LeakyReLU | Swish | ELU | none
+    need1x1_up: bool = True
+
+    def __post_init__(self):
+        assert len(self.channels_down) == len(self.channels_up) \
+            == len(self.channels_skip)
+
+    @property
+    def n_scales(self) -> int:
+        return len(self.channels_down)
+
+    def fdown(self, i: int) -> int:
+        f = self.filter_size_down
+        return f[i] if isinstance(f, (tuple, list)) else f
+
+    def fup(self, i: int) -> int:
+        f = self.filter_size_up
+        return f[i] if isinstance(f, (tuple, list)) else f
+
+
+# The reference's 6-scale reflection-pad variant used by the inversion tool
+# (reference inversion.py:21-25).
+def inversion_skip_config(input_depth: int = 32) -> SkipConfig:
+    return SkipConfig(
+        num_input_channels=input_depth,
+        channels_down=(16, 32, 64, 128, 128, 128),
+        channels_up=(16, 32, 64, 128, 128, 128),
+        channels_skip=(4, 4, 4, 4, 4, 4),
+        filter_size_down=(7, 7, 5, 5, 3, 3),
+        filter_size_up=(7, 7, 5, 5, 3, 3),
+        pad="reflection")
+
+
+# ---------------------------------------------------------------------------
+# Building blocks (reference models/unet/common.py)
+# ---------------------------------------------------------------------------
+
+def act(x: jax.Array, act_fun: str) -> jax.Array:
+    """reference common.py:76-92."""
+    if act_fun == "LeakyReLU":
+        return jax.nn.leaky_relu(x, 0.2)
+    if act_fun == "Swish":
+        return x * jax.nn.sigmoid(x)
+    if act_fun == "ELU":
+        return jax.nn.elu(x)
+    if act_fun == "none":
+        return x
+    raise ValueError(act_fun)
+
+
+def batch_norm(x: jax.Array, p: Dict[str, jax.Array],
+               eps: float = 1e-5) -> jax.Array:
+    """Train-mode BatchNorm2d over (N, H, W), biased variance, per-channel
+    affine (torch semantics, reference common.py:95-96). x: [B, H, W, C]."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def conv2d(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
+           pad: str = "zero") -> jax.Array:
+    """Conv with torch-equivalent (k-1)//2 padding (reference common.py
+    :99-124). x: [B, H, W, Cin]; kernel: [kh, kw, Cin, Cout]."""
+    k = p["kernel"].shape[0]
+    to_pad = (k - 1) // 2
+    if pad == "reflection" and to_pad > 0:
+        x = jnp.pad(x, ((0, 0), (to_pad, to_pad), (to_pad, to_pad), (0, 0)),
+                    mode="reflect")
+        padding = "VALID"
+    else:
+        padding = ((to_pad, to_pad), (to_pad, to_pad))
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def _downsampler_kernel(kernel_type: str, factor: int) -> np.ndarray:
+    """Analytic lanczos/gauss/box kernels (reference downsampler.py:73-135),
+    phase=0.5 lanczos as the reference uses (downsampler.py:24-27)."""
+    if kernel_type == "box":
+        k = np.ones((factor, factor), np.float64) / factor ** 2
+        return k
+    if kernel_type.startswith("lanczos"):
+        support = int(kernel_type[-1])
+        phase = 0.5
+        ksize = factor * (2 * support + 1) - 1  # even-phase kernel
+        k = np.zeros((ksize, ksize), np.float64)
+        center = (ksize + 1.0) / 2.0
+        for i in range(1, ksize + 1):
+            for j in range(1, ksize + 1):
+                di = abs(i + 0.5 - center) / factor
+                dj = abs(j + 0.5 - center) / factor
+                val = 1.0
+                for d in (di, dj):
+                    if d == 0:
+                        continue
+                    elif d < support:
+                        val *= (support * np.sin(np.pi * d)
+                                * np.sin(np.pi * d / support)
+                                / (np.pi ** 2 * d ** 2))
+                    else:
+                        val = 0.0
+                k[i - 1, j - 1] = val
+        return k / k.sum()
+    if kernel_type == "gauss":
+        sigma = 0.5
+        ksize = int(np.ceil(sigma * 4)) * 2 + 1
+        ax = np.arange(ksize) - ksize // 2
+        g = np.exp(-(ax ** 2) / (2 * sigma ** 2))
+        k = np.outer(g, g)
+        return k / k.sum()
+    raise ValueError(kernel_type)
+
+
+def downsample(x: jax.Array, mode: str, factor: int = 2) -> jax.Array:
+    """Non-stride downsamplers (reference common.py:99-112,
+    downsampler.py:5-71). Used when downsample_mode != 'stride'."""
+    if mode == "avg":
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, factor, factor, 1),
+            (1, factor, factor, 1), "VALID") / (factor * factor)
+    if mode == "max":
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, factor, factor, 1),
+            (1, factor, factor, 1), "VALID")
+    if mode in ("lanczos2", "lanczos3"):
+        knp = _downsampler_kernel(mode, factor)
+        c = x.shape[-1]
+        pad = (knp.shape[0] - factor) // 2 + (knp.shape[0] - factor) % 2
+        kern = jnp.asarray(knp, x.dtype)[:, :, None, None]
+        kern = jnp.tile(kern, (1, 1, 1, c))
+        # preserve_size=True in the reference replication-pads first
+        # (downsampler.py:58-63).
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+        return jax.lax.conv_general_dilated(
+            xp, kern, (factor, factor), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+    raise ValueError(mode)
+
+
+def gen_noise(key: jax.Array, x: jax.Array, dim2: int) -> jax.Array:
+    """GenNoise (reference common.py:45-60): standard-normal tensor with the
+    input's spatial shape and `dim2` channels."""
+    b, h, w, _ = x.shape
+    return jax.random.normal(key, (b, h, w, dim2), x.dtype)
+
+
+def upsample2(x: jax.Array, mode: str) -> jax.Array:
+    """x2 spatial upsample (reference skip.py:82: nn.Upsample(scale_factor=2)).
+    bilinear == torch align_corners=False (half-pixel centers)."""
+    b, h, w, c = x.shape
+    method = {"bilinear": "bilinear", "nearest": "nearest"}[mode]
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method=method)
+
+
+def center_crop_to(x: jax.Array, th: int, tw: int) -> jax.Array:
+    """reference Concat center-crop (common.py:29-40)."""
+    h, w = x.shape[1], x.shape[2]
+    dh, dw = (h - th) // 2, (w - tw) // 2
+    return x[:, dh:dh + th, dw:dw + tw, :]
+
+
+def concat_crop(xs: Sequence[jax.Array]) -> jax.Array:
+    """Concat branches along channels after center-cropping all to the min
+    spatial size (reference common.py:11-42)."""
+    th = min(x.shape[1] for x in xs)
+    tw = min(x.shape[2] for x in xs)
+    return jnp.concatenate([center_crop_to(x, th, tw) for x in xs], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Init (reference networks.py:24-53 semantics)
+# ---------------------------------------------------------------------------
+
+def _init_conv_kernel(key, shape, init_type: str, gain: float):
+    kh, kw, cin, cout = shape
+    fan_in = cin * kh * kw
+    fan_out = cout * kh * kw
+    if init_type == "normal":
+        w = gain * jax.random.normal(key, shape)
+    elif init_type == "xavier":
+        std = gain * float(np.sqrt(2.0 / (fan_in + fan_out)))
+        w = std * jax.random.normal(key, shape)
+    elif init_type == "kaiming":
+        std = float(np.sqrt(2.0 / fan_in))
+        w = std * jax.random.normal(key, shape)
+    elif init_type == "orthogonal":
+        flat = jax.random.normal(key, (fan_in, cout))
+        q, r = jnp.linalg.qr(flat)
+        q = q * jnp.sign(jnp.diagonal(r))
+        w = gain * q.reshape(kh, kw, cin, cout)
+    else:
+        raise ValueError(init_type)
+    return w.astype(jnp.float32)
+
+
+def _conv_params(key, kh, cin, cout, init_type, gain, bias=True):
+    p = {"kernel": _init_conv_kernel(key, (kh, kh, cin, cout),
+                                     init_type, gain)}
+    if bias:
+        p["bias"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def _bn_params(key, c, gain):
+    # reference networks.py:44-46: BN weight ~ N(1, gain), bias 0.
+    return {"scale": 1.0 + gain * jax.random.normal(key, (c,)),
+            "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def init_skip_params(key: jax.Array, cfg: SkipConfig,
+                     init_type: str = "xavier",
+                     init_gain: float = 0.02) -> Dict[str, Any]:
+    n = cfg.n_scales
+    last = n - 1
+    keys = iter(jax.random.split(key, 12 * n + 4))
+    scales: List[Dict[str, Any]] = []
+    in_ch = cfg.num_input_channels
+    for i in range(n):
+        cd, cu, cs = cfg.channels_down[i], cfg.channels_up[i], cfg.channels_skip[i]
+        k_inner = cfg.channels_down[i] if i == last else cfg.channels_up[i + 1]
+        sp: Dict[str, Any] = {}
+        if cs:
+            sp["skip_conv"] = _conv_params(next(keys), cfg.filter_skip_size,
+                                           in_ch, cs, init_type, init_gain,
+                                           cfg.need_bias)
+            sp["skip_bn"] = _bn_params(next(keys), cs, init_gain)
+        sp["down_conv1"] = _conv_params(next(keys), cfg.fdown(i), in_ch, cd,
+                                        init_type, init_gain, cfg.need_bias)
+        sp["down_bn1"] = _bn_params(next(keys), cd, init_gain)
+        sp["down_conv2"] = _conv_params(next(keys), cfg.fdown(i), cd, cd,
+                                        init_type, init_gain, cfg.need_bias)
+        sp["down_bn2"] = _bn_params(next(keys), cd, init_gain)
+        # BN inserted right after Concat (reference skip.py:56).
+        sp["post_bn"] = _bn_params(next(keys), cs + k_inner, init_gain)
+        sp["up_conv"] = _conv_params(next(keys), cfg.fup(i), cs + k_inner, cu,
+                                     init_type, init_gain, cfg.need_bias)
+        sp["up_bn"] = _bn_params(next(keys), cu, init_gain)
+        if cfg.need1x1_up:
+            sp["up1x1_conv"] = _conv_params(next(keys), 1, cu, cu,
+                                            init_type, init_gain, cfg.need_bias)
+            sp["up1x1_bn"] = _bn_params(next(keys), cu, init_gain)
+        scales.append(sp)
+        in_ch = cd
+    out_conv = _conv_params(next(keys), 1, cfg.channels_up[0],
+                            cfg.num_output_channels, init_type, init_gain,
+                            cfg.need_bias)
+    return {"scales": scales, "out_conv": out_conv}
+
+
+# ---------------------------------------------------------------------------
+# Forward (reference skip.py:42-102 topology)
+# ---------------------------------------------------------------------------
+
+def skip_apply(params: Dict[str, Any], cfg: SkipConfig,
+               x: jax.Array) -> jax.Array:
+    """Generator forward. x: [B, H, W, Cin] in [0,1] -> [B, H', W', Cout].
+
+    H'/W' equal H/W when H, W are multiples of 2**n_scales; otherwise the
+    center-crop concat trims exactly as the reference does.
+    """
+    n = cfg.n_scales
+
+    def scale_fn(i: int, xin: jax.Array) -> jax.Array:
+        sp = params["scales"][i]
+        branches = []
+        if cfg.channels_skip[i]:
+            s = conv2d(xin, sp["skip_conv"], 1, cfg.pad)
+            s = act(batch_norm(s, sp["skip_bn"]), cfg.act_fun)
+            branches.append(s)
+        if cfg.downsample_mode == "stride":
+            d = conv2d(xin, sp["down_conv1"], 2, cfg.pad)
+        else:
+            d = conv2d(xin, sp["down_conv1"], 1, cfg.pad)
+            d = downsample(d, cfg.downsample_mode, 2)
+        d = act(batch_norm(d, sp["down_bn1"]), cfg.act_fun)
+        d = conv2d(d, sp["down_conv2"], 1, cfg.pad)
+        d = act(batch_norm(d, sp["down_bn2"]), cfg.act_fun)
+        inner = scale_fn(i + 1, d) if i < n - 1 else d
+        u = upsample2(inner, cfg.upsample_mode)
+        branches.append(u)
+        y = concat_crop(branches)
+        y = batch_norm(y, sp["post_bn"])
+        y = act(batch_norm(conv2d(y, sp["up_conv"], 1, cfg.pad),
+                           sp["up_bn"]), cfg.act_fun)
+        if cfg.need1x1_up:
+            y = act(batch_norm(conv2d(y, sp["up1x1_conv"], 1, cfg.pad),
+                               sp["up1x1_bn"]), cfg.act_fun)
+        return y
+
+    y = scale_fn(0, x)
+    y = conv2d(y, params["out_conv"], 1, cfg.pad)
+    if cfg.need_sigmoid:
+        y = jax.nn.sigmoid(y)
+    elif cfg.need_tanh:
+        y = jnp.tanh(y)
+    return y
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

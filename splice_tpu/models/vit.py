@@ -1,0 +1,319 @@
+"""TPU-native DINO/DINOv2 Vision Transformer with first-class feature taps.
+
+Replaces the reference's hook-spied torch.hub backbone (reference
+models/extractor.py:20,31-103 registers 48 forward hooks per extraction call,
+collects 4x12 tensors and throws most away). Here the ViT is a pure function
+that *returns* exactly the features a caller asks for — qkv projections, block
+outputs, attention probabilities — as part of its output pytree, so the whole
+thing stays inside one jitted/differentiated graph.
+
+Architecture (ViT-S/B patch 8/16, facebookresearch/dino layout; ViT-L/14 for
+DINOv2 with LayerScale): patch-embed conv -> [CLS] prepend -> interpolated
+position embeddings -> pre-LN transformer blocks -> (optional) final LN.
+Weights load from a ported .npz (tools/port_dino_weights.py) or deterministic
+random init.
+
+Params are plain nested dicts (pytrees): trivially shardable with
+jax.sharding (see splice_tpu/parallel/) and fully transparent to jit/grad.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splice_tpu.ops import attention as attn_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class VitConfig:
+    patch_size: int = 8
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6
+    img_size: int = 224                 # grid the stored pos_embed was trained at
+    # DINO interpolates pos embeds with a +0.1 grid offset (upstream
+    # vision_transformer.py interpolate_pos_encoding); DINOv2 uses 0.
+    interpolate_offset: float = 0.1
+    layerscale_init: Optional[float] = None   # DINOv2: 1e-5; DINO: None
+    num_register_tokens: int = 0              # DINOv2-reg variants
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def base_grid(self) -> int:
+        return self.img_size // self.patch_size
+
+
+# Registry mirroring the reference's allowed model names
+# (reference conf/default/config.yaml:25) plus DINOv2 (BASELINE.json config 5).
+VIT_CONFIGS: Dict[str, VitConfig] = {
+    "dino_vitb8": VitConfig(patch_size=8, embed_dim=768, depth=12, num_heads=12),
+    "dino_vits8": VitConfig(patch_size=8, embed_dim=384, depth=12, num_heads=6),
+    "dino_vitb16": VitConfig(patch_size=16, embed_dim=768, depth=12, num_heads=12),
+    "dino_vits16": VitConfig(patch_size=16, embed_dim=384, depth=12, num_heads=6),
+    "dinov2_vitb14": VitConfig(patch_size=14, embed_dim=768, depth=12,
+                               num_heads=12, img_size=518,
+                               interpolate_offset=0.0, layerscale_init=1e-5),
+    "dinov2_vitl14": VitConfig(patch_size=14, embed_dim=1024, depth=24,
+                               num_heads=16, img_size=518,
+                               interpolate_offset=0.0, layerscale_init=1e-5),
+}
+
+
+def get_vit_config(model_name: str) -> VitConfig:
+    if model_name not in VIT_CONFIGS:
+        raise ValueError(f"unknown ViT model {model_name!r}; "
+                         f"known: {sorted(VIT_CONFIGS)}")
+    return VIT_CONFIGS[model_name]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_vit_params(key: jax.Array, cfg: VitConfig,
+                    dtype=jnp.float32) -> Dict[str, Any]:
+    """Deterministic random init (trunc-normal-ish). Real feature quality
+    comes from ported DINO weights; this keeps the framework runnable with
+    zero network access."""
+    D, P = cfg.embed_dim, cfg.patch_size
+    H = int(cfg.mlp_ratio * D)
+    n_pos = 1 + cfg.num_register_tokens + cfg.base_grid ** 2
+    keys = jax.random.split(key, 4 + cfg.depth)
+
+    def tn(k, shape, std=0.02):
+        return (std * jax.random.truncated_normal(k, -2.0, 2.0, shape)
+                ).astype(dtype)
+
+    params: Dict[str, Any] = {
+        "cls_token": tn(keys[0], (1, 1, D)),
+        "pos_embed": tn(keys[1], (1, n_pos, D)),
+        "patch_embed": {
+            "kernel": tn(keys[2], (P, P, 3, D)),
+            "bias": jnp.zeros((D,), dtype),
+        },
+        "norm": {"scale": jnp.ones((D,), dtype),
+                 "bias": jnp.zeros((D,), dtype)},
+        "blocks": [],
+    }
+    if cfg.num_register_tokens:
+        params["register_tokens"] = tn(keys[3],
+                                       (1, cfg.num_register_tokens, D))
+    for i in range(cfg.depth):
+        bk = jax.random.split(keys[4 + i], 4)
+        blk = {
+            "norm1": {"scale": jnp.ones((D,), dtype),
+                      "bias": jnp.zeros((D,), dtype)},
+            "attn": {
+                "qkv": {"kernel": tn(bk[0], (D, 3 * D)),
+                        "bias": jnp.zeros((3 * D,), dtype)},
+                "proj": {"kernel": tn(bk[1], (D, D)),
+                         "bias": jnp.zeros((D,), dtype)},
+            },
+            "norm2": {"scale": jnp.ones((D,), dtype),
+                      "bias": jnp.zeros((D,), dtype)},
+            "mlp": {
+                "fc1": {"kernel": tn(bk[2], (D, H)),
+                        "bias": jnp.zeros((H,), dtype)},
+                "fc2": {"kernel": tn(bk[3], (H, D)),
+                        "bias": jnp.zeros((D,), dtype)},
+            },
+        }
+        if cfg.layerscale_init is not None:
+            blk["ls1"] = jnp.full((D,), cfg.layerscale_init, dtype)
+            blk["ls2"] = jnp.full((D,), cfg.layerscale_init, dtype)
+        params["blocks"].append(blk)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+# HIGHEST = exact for the operand dtype. bf16 operands still ride the MXU at
+# full rate with fp32 accumulation; fp32 operands are not silently truncated
+# (JAX's DEFAULT matmul precision is lossy, even on CPU).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dense(x, p):
+    """x @ kernel + bias at HIGHEST precision, fp32 accumulation."""
+    y = jax.lax.dot_general(
+        x, p["kernel"].astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32).astype(x.dtype)
+    return y + p["bias"].astype(y.dtype)
+
+
+def _layer_norm(x, p, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _bicubic_resize_matrix(in_size: int, out_size: int, scale: float,
+                           a: float = -0.75) -> np.ndarray:
+    """[out, in] interpolation weights replicating torch bicubic upsampling
+    (cubic convolution with a=-0.75, half-pixel centers, replicate borders).
+    jax.image's cubic is the Keys a=-0.5 kernel, which does NOT match torch —
+    and DINO's checkpointed features depend on torch's kernel.
+    src coordinate for output i: (i + 0.5)/scale - 0.5 (the scale_factor
+    convention DINO passes to F.interpolate)."""
+    def k(x):
+        x = abs(x)
+        if x <= 1.0:
+            return (a + 2.0) * x ** 3 - (a + 3.0) * x ** 2 + 1.0
+        if x < 2.0:
+            return a * x ** 3 - 5.0 * a * x ** 2 + 8.0 * a * x - 4.0 * a
+        return 0.0
+
+    W = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        s = (i + 0.5) / scale - 0.5
+        i0 = int(np.floor(s))
+        t = s - i0
+        for m, wgt in zip(range(i0 - 1, i0 + 3),
+                          (k(1.0 + t), k(t), k(1.0 - t), k(2.0 - t))):
+            W[i, min(max(m, 0), in_size - 1)] += wgt
+    return W.astype(np.float32)
+
+
+def interpolate_pos_embed(pos_embed: jax.Array, cfg: VitConfig,
+                          gh: int, gw: int) -> jax.Array:
+    """Bicubic pos-embed interpolation to a (gh, gw) patch grid, including
+    DINO's +0.1 offset trick (upstream dino vision_transformer.py
+    interpolate_pos_encoding). Returns [1, 1+R+gh*gw, D]."""
+    n_prefix = 1 + cfg.num_register_tokens
+    prefix, patch = pos_embed[:, :n_prefix], pos_embed[:, n_prefix:]
+    g0 = cfg.base_grid
+    if (gh, gw) == (g0, g0):
+        return pos_embed
+    D = pos_embed.shape[-1]
+    patch = patch.reshape(g0, g0, D).astype(jnp.float32)
+    # DINO rescales by (g + offset)/g0 rather than exactly g/g0 (offset 0.1);
+    # DINOv2 uses the exact ratio. Both resolve to static weight matrices —
+    # the target grid is static under jit — applied as two small matmuls.
+    sy = (gh + cfg.interpolate_offset) / g0
+    sx = (gw + cfg.interpolate_offset) / g0
+    Wy = jnp.asarray(_bicubic_resize_matrix(g0, gh, sy))
+    Wx = jnp.asarray(_bicubic_resize_matrix(g0, gw, sx))
+    out = jnp.einsum("oi,iwd->owd", Wy, patch, precision=_HI)
+    out = jnp.einsum("oj,hjd->hod", Wx, out, precision=_HI)
+    out = out.reshape(1, gh * gw, D).astype(pos_embed.dtype)
+    return jnp.concatenate([prefix, out], axis=1)
+
+
+def _block(x, bp, cfg: VitConfig, use_pallas: bool, want):
+    """One pre-LN transformer block. Returns (x_out, taps dict)."""
+    taps = {}
+    h = _layer_norm(x, bp["norm1"], cfg.ln_eps)
+    qkv = _dense(h, bp["attn"]["qkv"])                           # [B,N,3D]
+    if "qkv" in want:
+        taps["qkv"] = qkv
+    B, N, _ = qkv.shape
+    Hn, dh = cfg.num_heads, cfg.head_dim
+    q, k, v = [t.reshape(B, N, Hn, dh).transpose(0, 2, 1, 3)
+               for t in jnp.split(qkv, 3, axis=-1)]              # [B,H,N,dh]
+    scale = dh ** -0.5
+    if "attn_probs" in want:
+        # Materialize probabilities only when explicitly requested (the
+        # reference's ATTN tap, extractor.py:44); slow path.
+        logits = (q.astype(jnp.float32) @
+                  k.astype(jnp.float32).transpose(0, 1, 3, 2)) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        taps["attn_probs"] = probs
+        o = (probs @ v.astype(jnp.float32)).astype(x.dtype)
+    else:
+        o = attn_ops.multi_head_attention(q, k, v, scale,
+                                          use_pallas=use_pallas)
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, cfg.embed_dim)
+    o = _dense(o, bp["attn"]["proj"])
+    if "attn_out" in want:
+        taps["attn_out"] = o                                      # PATCH_IMD tap
+    if "ls1" in bp:
+        o = o * bp["ls1"].astype(o.dtype)
+    x = x + o
+    h = _layer_norm(x, bp["norm2"], cfg.ln_eps)
+    h = _dense(h, bp["mlp"]["fc1"])
+    h = jax.nn.gelu(h, approximate=False)
+    h = _dense(h, bp["mlp"]["fc2"])
+    if "ls2" in bp:
+        h = h * bp["ls2"].astype(h.dtype)
+    x = x + h
+    if "block" in want:
+        taps["block"] = x
+    return x, taps
+
+
+def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
+                taps: Dict[str, Sequence[int]],
+                compute_dtype=jnp.float32,
+                use_pallas: bool = False,
+                remat: bool = False,
+                final_norm: bool = False) -> Dict[str, Dict[int, jax.Array]]:
+    """Run the frozen ViT and return the requested feature taps.
+
+    images: [B, H, W, 3], ImageNet-normalized NHWC.
+    taps: e.g. {"qkv": [11], "block": [11]}. Tap kinds: "qkv" [B,N,3D] (the
+      reference's QKV hook, extractor.py:46), "block" [B,N,D] (BLOCK hook,
+      extractor.py:42 — pre-final-norm, exactly like the reference),
+      "attn_out" [B,N,D], "attn_probs" [B,H,N,N].
+    final_norm: additionally return {"final": {-1: LN(x)}} (DINO's trunk
+      output; not used by the splice losses, which read raw block outputs).
+    """
+    B, H, W, _ = images.shape
+    P = cfg.patch_size
+    gh, gw = H // P, W // P
+    x = jax.lax.conv_general_dilated(
+        images.astype(compute_dtype),
+        params["patch_embed"]["kernel"].astype(compute_dtype),
+        (P, P), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_HI, preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
+    x = x + params["patch_embed"]["bias"].astype(compute_dtype)
+    x = x.reshape(B, gh * gw, cfg.embed_dim)
+    cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype),
+                           (B, 1, cfg.embed_dim))
+    toks = [cls]
+    if cfg.num_register_tokens:
+        toks.append(jnp.broadcast_to(
+            params["register_tokens"].astype(compute_dtype),
+            (B, cfg.num_register_tokens, cfg.embed_dim)))
+    x = jnp.concatenate(toks + [x], axis=1)
+    pos = interpolate_pos_embed(params["pos_embed"], cfg, gh, gw)
+    x = x + pos.astype(compute_dtype)
+
+    max_layer = max((max(v) for v in taps.values() if len(v)),
+                    default=cfg.depth - 1)
+    if final_norm:
+        max_layer = cfg.depth - 1
+
+    out: Dict[str, Dict[int, jax.Array]] = {k: {} for k in taps}
+    block_fn = _block
+    if remat:
+        block_fn = jax.checkpoint(_block, static_argnums=(2, 3, 4))
+    for i in range(max_layer + 1):
+        want = tuple(sorted(k for k, layers in taps.items() if i in layers))
+        x, btaps = block_fn(x, params["blocks"][i], cfg, use_pallas, want)
+        for k, v in btaps.items():
+            out[k][i] = v
+    if final_norm:
+        out["final"] = {-1: _layer_norm(x, params["norm"], cfg.ln_eps)}
+    return out
+
+
+def vit_apply(params, images, cfg, **kw):
+    """Convenience alias."""
+    return vit_forward(params, images, cfg, **kw)

@@ -1,0 +1,161 @@
+"""Multi-head attention for the frozen ViT tower: XLA path + Pallas TPU kernel.
+
+The reference reaches attention only through stock torch ops inside the
+hub-loaded DINO ViT (SURVEY.md §2: the reference has zero native kernels).
+This module is the TPU-native replacement and the framework's hot kernel:
+every optimization step runs `depth` of these at batch 4*n_crops and
+~800-3600 tokens, with gradients flowing through (reference util/losses.py
+:81,90,103 differentiates through the frozen ViT).
+
+Design: at Splice's token counts an entire head's K/V (< 1 MB) fits VMEM, so
+the kernel keeps full K/V resident and tiles only queries — one softmax pass,
+no online-max bookkeeping, logits never touch HBM. Backward is an exact
+XLA-side recompute (custom VJP), which XLA fuses well and keeps the kernel
+surface small. Falls back to pure-XLA attention for huge N or tiny shapes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Queries per grid step; full K/V kept in VMEM per (batch, head).
+_BQ = 256
+# Above this padded length the full-K/V-in-VMEM plan stops fitting; fall back.
+_MAX_N_PAD = 4096
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _xla_attention(q, k, v, scale):
+    """Plain XLA attention. q,k,v: [B, H, N, dh]. fp32 softmax.
+
+    HIGHEST precision: exact for the dtype given (bf16 inputs still ride the
+    MXU at full speed with fp32 accumulation; fp32 inputs are not silently
+    downcast — JAX's DEFAULT precision is lossy even on CPU).
+    """
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=_HI,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      precision=_HI,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+    """One (batch*head, q-block) grid cell.
+
+    q_ref: [1, BQ, dh]; k_ref/v_ref: [1, N_pad, dh]; o_ref: [1, BQ, dh]
+    (leading dim is the size-1 batch*head block).
+    Padding columns (>= n_valid) are masked to -inf before softmax.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [BQ, N_pad]
+    n_pad = k.shape[0]
+    if n_valid < n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < n_valid, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _pallas_attention_fwd_impl(q, k, v, scale: float):
+    B, H, N, dh = q.shape
+    n_pad = pl.cdiv(N, 128) * 128
+    nq_pad = pl.cdiv(N, _BQ) * _BQ
+    qp = jnp.pad(q.reshape(B * H, N, dh), ((0, 0), (0, nq_pad - N), (0, 0)))
+    kp = jnp.pad(k.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
+    vp = jnp.pad(v.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
+
+    grid = (B * H, nq_pad // _BQ)
+    kernel = functools.partial(_attn_kernel, scale=float(scale), n_valid=N)
+    # Interpret mode lets the same kernel run in CPU tests
+    # (tests/conftest.py forces JAX_PLATFORMS=cpu). On real TPU (including
+    # the 'axon' tunnel platform) the kernel compiles via Mosaic.
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * H, nq_pad, dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BQ, dh), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, dh), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, dh), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BQ, dh), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * N * N * dh,
+            bytes_accessed=(3 * B * H * N * dh + B * H * N * dh)
+            * q.dtype.itemsize,
+            transcendentals=B * H * N * N,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :N].reshape(B, H, N, dh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_attention(q, k, v, scale):
+    return _pallas_attention_fwd_impl(q, k, v, scale)
+
+
+def _pallas_attention_fwd(q, k, v, scale):
+    return _pallas_attention_fwd_impl(q, k, v, scale), (q, k, v)
+
+
+def _pallas_attention_bwd(scale, res, g):
+    """Exact softmax-attention backward via XLA recompute (fp32)."""
+    q, k, v = res
+    q32, k32, v32, g32 = (t.astype(jnp.float32) for t in (q, k, v, g))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q32, k32, precision=_HI) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32, precision=_HI)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32, precision=_HI)
+    # d logits = p * (dp - sum_k(p * dp))
+    dl = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dl, k32, precision=_HI) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dl, q32, precision=_HI) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
+def pallas_attention_supported(q) -> bool:
+    B, H, N, dh = q.shape
+    if dh % 64 != 0:
+        return False
+    return pl.cdiv(N, 128) * 128 <= _MAX_N_PAD
+
+
+def multi_head_attention(q, k, v, scale: float,
+                         use_pallas: bool = False) -> jax.Array:
+    """Softmax attention over [B, H, N, dh] tensors (no mask — ViT is dense).
+
+    `use_pallas` routes through the fused TPU kernel when the shape qualifies;
+    both paths are differentiable and numerically equivalent (fp32 softmax).
+    """
+    if use_pallas and pallas_attention_supported(q):
+        return _pallas_attention(q, k, v, float(scale))
+    return _xla_attention(q, k, v, scale)

@@ -1,0 +1,71 @@
+"""Checkpoint/resume via orbax (NEW capability: the reference never saves
+generator weights — its only artifact is out/output.png, reference
+util/util.py:55-59, SURVEY.md §5). Checkpoints hold the full train state
+(generator params + optimizer state), enabling crash recovery and the video
+warm-start workflow.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+class Checkpointer:
+    """Thin orbax wrapper with a numpy-npz fallback.
+
+    Orbax is the TPU-native choice (async, sharding-aware); the fallback
+    keeps checkpointing working in minimal environments.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.max_to_keep = max_to_keep
+        try:
+            import orbax.checkpoint as ocp
+            self._mgr = ocp.CheckpointManager(
+                self.directory,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=max_to_keep, create=True),
+            )
+            self._ocp = ocp
+        except Exception:
+            self._mgr = None
+            self._ocp = None
+
+    def save(self, step: int, state: Dict[str, Any]) -> None:
+        if self._mgr is not None:
+            self._mgr.save(step, args=self._ocp.args.StandardSave(state))
+            return
+        flat, treedef = jax.tree.flatten(state)
+        np.savez(os.path.join(self.directory, f"ckpt_{step}.npz"),
+                 *[np.asarray(x) for x in flat])
+
+    def wait(self) -> None:
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        if self._mgr is not None:
+            return self._mgr.latest_step()
+        steps = [int(f[5:-4]) for f in os.listdir(self.directory)
+                 if f.startswith("ckpt_") and f.endswith(".npz")]
+        return max(steps) if steps else None
+
+    def restore(self, step: Optional[int] = None,
+                template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if self._mgr is not None:
+            if template is not None:
+                return self._mgr.restore(
+                    step, args=self._ocp.args.StandardRestore(template))
+            return self._mgr.restore(step)
+        flat, treedef = jax.tree.flatten(template)
+        data = np.load(os.path.join(self.directory, f"ckpt_{step}.npz"))
+        leaves = [data[k] for k in data.files]
+        return jax.tree.unflatten(treedef, leaves)

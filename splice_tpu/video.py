@@ -1,0 +1,53 @@
+"""Video appearance transfer: per-frame test-time optimization with
+warm-started generator weights (BASELINE.json config 4; a NEW capability —
+the reference never saves weights, so every frame would restart from scratch,
+SURVEY.md §5 checkpoint note).
+
+Layout: <dataroot>/A contains the ordered frames, <dataroot>/B the single
+appearance image. Frame k's generator initializes from frame k-1's final
+params; later frames therefore need far fewer steps than the first.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from splice_tpu.config import Config
+from splice_tpu.data import load_video_frames
+from splice_tpu.utils.io import save_image
+
+
+def train_video(cfg: Config,
+                first_frame_steps: Optional[int] = None,
+                warm_frame_steps: Optional[int] = None) -> Dict[str, Any]:
+    """Optimize each frame sequentially; returns per-frame stats.
+
+    first_frame_steps defaults to cfg.n_epochs; warm frames default to
+    cfg.n_epochs // 10 (warm start converges much faster).
+    """
+    from splice_tpu import trainer  # local import: keep module load light
+
+    first_steps = first_frame_steps or cfg.n_epochs
+    warm_steps = warm_frame_steps or max(cfg.n_epochs // 10, 1)
+    extractor = trainer.make_extractor_from_config(cfg)
+
+    out_dir = os.path.join(cfg.dataroot, "out")
+    params = None
+    stats = []
+    for idx, (name, pair) in enumerate(load_video_frames(cfg)):
+        steps = first_steps if idx == 0 else warm_steps
+        res = trainer.train_pair(cfg, pair=pair, extractor=extractor,
+                                 init_params=params, n_steps=steps)
+        params = res["state"]["params"]
+        stem = os.path.splitext(name)[0]
+        save_image(np.asarray(res["output"]),
+                   os.path.join(out_dir, f"{stem}_out.png"))
+        stats.append({"frame": name, "steps": steps,
+                      "steps_per_sec": res["steps_per_sec"],
+                      "loss": res["losses"].get("loss")})
+        print(f"[video] frame {idx} ({name}): {steps} steps, "
+              f"{res['steps_per_sec']:.2f} steps/s")
+    return {"frames": stats, "params": params}
