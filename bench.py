@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark: generator optimization steps/sec on the bundled cows pair at
+reference-default workload (BASELINE.md: dino_vitb8, 224px loss resolution,
+n_crops=1, Adam(2e-3, 0.0/0.99), full-res generator).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline denominator: the reference loop itself cannot run in this
+environment (its backbone is downloaded at runtime via torch.hub,
+reference models/extractor.py:20 — zero egress here). Instead we MEASURE a
+torch-CPU proxy of the reference's per-step cost pattern — 6 sequential
+batch-1 DINO-ViT-B/8 224px forwards (3 carrying grad) + backward, the
+dominant cost per SURVEY.md §3.1 — once, and cache it in
+BASELINE_MEASURED.json. Weights don't affect speed, so random init is a
+faithful timing proxy.
+"""
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+BASELINE_FILE = REPO / "BASELINE_MEASURED.json"
+
+BENCH_STEPS = 40
+WARMUP_STEPS = 8
+
+
+def measure_torch_baseline(n_steps: int = 2) -> dict:
+    """Reference per-step cost pattern in torch CPU (see module docstring)."""
+    import torch
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_vit_parity import TorchDinoVit
+
+    torch.manual_seed(0)
+    model = TorchDinoVit(patch=8, dim=768, depth=12, heads=12, img_size=224)
+    model.eval()
+    for p in model.parameters():
+        p.requires_grad_(False)
+    x = torch.rand(1, 3, 224, 224)
+    # proxy generated image with grad (stands in for G(crop))
+    gen = torch.rand(1, 3, 224, 224, requires_grad=True)
+
+    def step():
+        total = 0.0
+        for _ in range(3):               # ssim, cls, id: target branches
+            with torch.no_grad():
+                model.forward_collect(x)
+        for _ in range(3):               # generated branches carry grad
+            blocks, qkv = model.forward_collect(gen)
+            total = total + blocks[-1][:, 0, :].pow(2).mean() \
+                + qkv[-1].pow(2).mean()
+        total.backward()
+
+    t0 = time.perf_counter()
+    step()                               # warmup (autograd graph alloc)
+    t1 = time.perf_counter()
+    times = []
+    for _ in range(n_steps):
+        t = time.perf_counter()
+        step()
+        times.append(time.perf_counter() - t)
+    sps = 1.0 / (sum(times) / len(times))
+    return {"baseline_steps_per_sec": sps,
+            "method": "torch-CPU proxy: 6x batch-1 DINO ViT-B/8 224px "
+                      "forwards (3 w/ grad) + backward per step",
+            "n_steps": n_steps}
+
+
+def get_baseline() -> dict:
+    if BASELINE_FILE.exists():
+        return json.loads(BASELINE_FILE.read_text())
+    data = measure_torch_baseline()
+    BASELINE_FILE.write_text(json.dumps(data, indent=2))
+    return data
+
+
+def bench_ours() -> float:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splice_tpu import losses as losses_lib, trainer
+    from splice_tpu.config import load_config
+    from splice_tpu.data import load_pair
+
+    cfg = load_config(None, dict(
+        dataroot=str(REPO / "datasets/splicing/cows"), seed=3,
+        vit_compute_dtype="bfloat16", use_pallas_attention=True,
+        remat_vit=True))
+    pair = load_pair(cfg)
+    extractor = trainer.make_extractor_from_config(cfg)
+    program = trainer.build_program(cfg, pair, extractor)
+    state = program.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    lam = jnp.asarray(trainer.lambdas_vec(cfg, 5))
+
+    # warmup / compile both step classes
+    lam0 = jnp.asarray(trainer.lambdas_vec(cfg, 0))
+    state, _ = program.step_entire(state, pair.A, pair.B, jnp.int32(0),
+                                   key, lam0)
+    for i in range(1, WARMUP_STEPS):
+        state, parts = program.step_regular(state, pair.A, pair.B,
+                                            jnp.int32(i), key, lam)
+    jax.block_until_ready(parts)
+
+    t0 = time.perf_counter()
+    for i in range(WARMUP_STEPS, WARMUP_STEPS + BENCH_STEPS):
+        state, parts = program.step_regular(state, pair.A, pair.B,
+                                            jnp.int32(i), key, lam)
+    jax.block_until_ready(parts)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(float(parts["loss"])), "non-finite loss in bench"
+    return BENCH_STEPS / wall
+
+
+def main():
+    baseline = get_baseline()
+    ours = bench_ours()
+    base = baseline["baseline_steps_per_sec"]
+    print(json.dumps({
+        "metric": "splice_opt_steps_per_sec_cows_224",
+        "value": round(ours, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(ours / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

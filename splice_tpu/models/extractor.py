@@ -93,12 +93,13 @@ class VitExtractor:
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    tp_axis: Any = None      # mesh axis name for ViT tensor parallelism
 
     def _run(self, images, taps, final_norm=False):
         return vit_lib.vit_forward(
             self.params, images, self.cfg, taps,
             compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
-            remat=self.remat, final_norm=final_norm)
+            remat=self.remat, final_norm=final_norm, tp_axis=self.tp_axis)
 
     # -- geometry helpers (reference extractor.py:105-130) --
     def get_patch_size(self) -> int:

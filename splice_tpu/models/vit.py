@@ -147,10 +147,12 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _dense(x, p):
-    """x @ kernel + bias at HIGHEST precision, fp32 accumulation."""
+    """x @ kernel + bias at HIGHEST precision (f32 MXU accumulation
+    internally; no preferred_element_type so the VJP sees uniform dtypes
+    in bf16 mode)."""
     y = jax.lax.dot_general(
         x, p["kernel"].astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
-        precision=_HI, preferred_element_type=jnp.float32).astype(x.dtype)
+        precision=_HI)
     return y + p["bias"].astype(y.dtype)
 
 
@@ -215,8 +217,21 @@ def interpolate_pos_embed(pos_embed: jax.Array, cfg: VitConfig,
     return jnp.concatenate([prefix, out], axis=1)
 
 
-def _block(x, bp, cfg: VitConfig, use_pallas: bool, want):
-    """One pre-LN transformer block. Returns (x_out, taps dict)."""
+def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
+           tp_axis: Optional[str] = None):
+    """One pre-LN transformer block. Returns (x_out, taps dict).
+
+    tp_axis: mesh axis name for Megatron-style tensor parallelism — heads
+    sharded in attention, hidden dim sharded in the MLP; GSPMD inserts the
+    row-parallel all-reduces after proj/fc2.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def tp(t, spec):
+        if tp_axis is None:
+            return t
+        return jax.lax.with_sharding_constraint(t, P(*spec))
+
     taps = {}
     h = _layer_norm(x, bp["norm1"], cfg.ln_eps)
     qkv = _dense(h, bp["attn"]["qkv"])                           # [B,N,3D]
@@ -224,7 +239,8 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want):
         taps["qkv"] = qkv
     B, N, _ = qkv.shape
     Hn, dh = cfg.num_heads, cfg.head_dim
-    q, k, v = [t.reshape(B, N, Hn, dh).transpose(0, 2, 1, 3)
+    q, k, v = [tp(t.reshape(B, N, Hn, dh).transpose(0, 2, 1, 3),
+                  (None, tp_axis, None, None))
                for t in jnp.split(qkv, 3, axis=-1)]              # [B,H,N,dh]
     scale = dh ** -0.5
     if "attn_probs" in want:
@@ -246,7 +262,7 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want):
         o = o * bp["ls1"].astype(o.dtype)
     x = x + o
     h = _layer_norm(x, bp["norm2"], cfg.ln_eps)
-    h = _dense(h, bp["mlp"]["fc1"])
+    h = tp(_dense(h, bp["mlp"]["fc1"]), (None, None, tp_axis))
     h = jax.nn.gelu(h, approximate=False)
     h = _dense(h, bp["mlp"]["fc2"])
     if "ls2" in bp:
@@ -262,7 +278,9 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
                 compute_dtype=jnp.float32,
                 use_pallas: bool = False,
                 remat: bool = False,
-                final_norm: bool = False) -> Dict[str, Dict[int, jax.Array]]:
+                final_norm: bool = False,
+                tp_axis: Optional[str] = None
+                ) -> Dict[str, Dict[int, jax.Array]]:
     """Run the frozen ViT and return the requested feature taps.
 
     images: [B, H, W, 3], ImageNet-normalized NHWC.
@@ -276,12 +294,16 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
     B, H, W, _ = images.shape
     P = cfg.patch_size
     gh, gw = H // P, W // P
+    # No preferred_element_type here: a f32-accumulated output would make
+    # the conv's transpose (grad flows into `images`) see mixed dtypes in
+    # bf16 mode. HIGHEST precision already gives exact bf16xbf16->f32 MXU
+    # accumulation before the rounding to compute_dtype.
     x = jax.lax.conv_general_dilated(
         images.astype(compute_dtype),
         params["patch_embed"]["kernel"].astype(compute_dtype),
         (P, P), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=_HI, preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)
+        precision=_HI,
+    )
     x = x + params["patch_embed"]["bias"].astype(compute_dtype)
     x = x.reshape(B, gh * gw, cfg.embed_dim)
     cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype),
@@ -303,10 +325,11 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
     out: Dict[str, Dict[int, jax.Array]] = {k: {} for k in taps}
     block_fn = _block
     if remat:
-        block_fn = jax.checkpoint(_block, static_argnums=(2, 3, 4))
+        block_fn = jax.checkpoint(_block, static_argnums=(2, 3, 4, 5))
     for i in range(max_layer + 1):
         want = tuple(sorted(k for k, layers in taps.items() if i in layers))
-        x, btaps = block_fn(x, params["blocks"][i], cfg, use_pallas, want)
+        x, btaps = block_fn(x, params["blocks"][i], cfg, use_pallas, want,
+                            tp_axis)
         for k, v in btaps.items():
             out[k][i] = v
     if final_norm:

@@ -1,0 +1,235 @@
+"""Multi-pair scale-out: optimize P independent image pairs inside ONE
+compiled step, sharded over a ("dp", "tp") mesh.
+
+This is BASELINE.json config 3 ("vmap-batched optimization over 8 image
+pairs sharing one compiled step on a v5e slice") — a capability the
+reference cannot express at all (single device, batch-1 loop; SURVEY.md §2).
+
+Design: the per-pair train step (augment -> G -> batched frozen ViT ->
+losses -> grad -> Adam) is vmapped over the pair axis with
+spmd_axis_name="dp", so every pair-stacked tensor — generator params,
+optimizer state, crops, ViT activations' batch dim — is sharded over dp by
+GSPMD. The frozen ViT params are replicated over dp and (optionally)
+Megatron-sharded over tp, so a big pair batch can also split each ViT
+matmul across chips. No hand-written collectives: pairs are independent, so
+dp needs none, and tp's all-reduces are inserted by XLA from the sharding
+constraints in splice_tpu/models/vit.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from splice_tpu import losses as losses_lib
+from splice_tpu.config import Config
+from splice_tpu.models import extractor as ext_lib
+from splice_tpu.models import unet
+from splice_tpu.ops import image as img_ops
+from splice_tpu.parallel import mesh as mesh_lib
+from splice_tpu.trainer import LAMBDA_ORDER, make_optimizer
+
+
+@dataclasses.dataclass
+class MultiPairProgram:
+    step_regular: Callable
+    step_entire: Callable
+    render: Callable
+    init_states: Callable
+    mesh: Mesh
+    gcfg: unet.SkipConfig
+
+
+def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
+                             mesh: Mesh, image_hw: int, canvas: int,
+                             gcfg: Optional[unet.SkipConfig] = None
+                             ) -> MultiPairProgram:
+    """All pairs share one static geometry: images are [P, image_hw,
+    image_hw, 3] (square, pre-resized by the loader), crops land on
+    `canvas`. The generator/optimizer state carries a leading P axis
+    sharded over dp.
+    """
+    gcfg = gcfg or unet.SkipConfig()
+    nA, nB = cfg.global_A_crops_n_crops, cfg.global_B_crops_n_crops
+    tx = make_optimizer(cfg)
+    extractor = dataclasses.replace(
+        extractor, tp_axis="tp" if mesh.shape["tp"] > 1 else None)
+
+    def transform(x):
+        y = img_ops.dino_global_resize(
+            x, cfg.dino_global_patch_size, cfg.dino_global_max_size,
+            antialias=cfg.antialias)
+        return img_ops.imagenet_normalize(y)
+
+    def per_pair_loss(params, A, B, key, lam, entire: bool):
+        kAa, kAc, kBa, kBc = jax.random.split(key, 4)
+        if cfg.use_augmentations:
+            A_aug = img_ops.structure_augment(A, kAa)
+            B_aug = img_ops.texture_augment(B, kBa)
+        else:
+            A_aug, B_aug = A, B
+        A_crops = img_ops.global_crops(A_aug, kAc, nA,
+                                       cfg.global_A_crops_min_cover, canvas,
+                                       cfg.antialias)
+        B_crops = img_ops.global_crops(B_aug, kBc, nB,
+                                       cfg.global_B_crops_min_cover, canvas,
+                                       cfg.antialias)
+        x_global = unet.skip_apply(params, gcfg, A_crops)
+        y_global = unet.skip_apply(params, gcfg, B_crops)
+        parts, aux = losses_lib.splice_losses_fused(
+            extractor, transform(x_global), transform(A_crops),
+            transform(y_global), transform(B_crops))
+        if entire:
+            x_entire = unet.skip_apply(params, gcfg, A[None])
+            parts.update(losses_lib.entire_losses_fused(
+                extractor, transform(x_entire), transform(A[None]),
+                aux["cls_B"]))
+        else:
+            parts["loss_entire_cls"] = jnp.float32(0.0)
+            parts["loss_entire_ssim"] = jnp.float32(0.0)
+        lam_map = dict(zip(LAMBDA_ORDER, lam))
+        active = {k: v for k, v in parts.items()
+                  if entire or not k.startswith("loss_entire")}
+        return losses_lib.weighted_total(active, lam_map), parts
+
+    def per_pair_step(state, A, B, key, lam, entire: bool):
+        (total, parts), grads = jax.value_and_grad(
+            per_pair_loss, has_aux=True)(state["params"], A, B, key, lam,
+                                         entire)
+        updates, opt_state = tx.update(grads, state["opt_state"],
+                                       state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        parts["loss"] = total
+        return {"params": params, "opt_state": opt_state}, parts
+
+    # dp is a *manual* shard_map axis: each device runs the plain per-pair
+    # step over its local slice of pairs (they're independent — zero dp
+    # collectives), while tp stays an *auto* GSPMD axis so the ViT's
+    # Megatron sharding constraints still partition each matmul. A pure
+    # spmd_axis_name=vmap formulation trips XLA's partitioner on the
+    # grouped convs that batching per-pair generator kernels produces.
+    def local_step(states, As, Bs, step_idx, base_key, lam, entire: bool):
+        L = As.shape[0]                      # pairs on this device
+        shard = jax.lax.axis_index("dp")
+        gids = shard * L + jnp.arange(L)     # global pair ids -> streams
+        keys = jax.vmap(lambda i: jax.random.fold_in(
+            jax.random.fold_in(base_key, step_idx), i))(gids)
+        return jax.vmap(
+            functools.partial(per_pair_step, entire=entire),
+            in_axes=(0, 0, 0, 0, None),
+        )(states, As, Bs, keys, lam)
+
+    def jit_step(entire):
+        fn = jax.shard_map(
+            functools.partial(local_step, entire=entire), mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp"), P(), P(), P()),
+            out_specs=(P("dp"), P("dp")),
+            axis_names={"dp"}, check_vma=False)
+        return jax.jit(fn, donate_argnums=(0,))
+
+    render_local = jax.shard_map(
+        lambda ps, As: jnp.clip(
+            jax.vmap(lambda p, a: unet.skip_apply(p, gcfg, a[None])[0]
+                     )(ps, As), 0.0, 1.0),
+        mesh=mesh, in_specs=(P("dp"), P("dp")), out_specs=P("dp"),
+        axis_names={"dp"}, check_vma=False)
+    render = jax.jit(render_local)
+
+    dp_shard = mesh_lib.dp_sharding(mesh)
+
+    def init_states(key, n_pairs: int):
+        keys = jax.random.split(key, n_pairs)
+        states = jax.vmap(
+            lambda k: (lambda p: {"params": p, "opt_state": tx.init(p)})(
+                unet.init_skip_params(k, gcfg, cfg.init_type, cfg.init_gain))
+        )(keys)
+        return jax.device_put(states, dp_shard)
+
+    return MultiPairProgram(step_regular=jit_step(False),
+                            step_entire=jit_step(True), render=render,
+                            init_states=init_states, mesh=mesh, gcfg=gcfg)
+
+
+def load_pair_batch(cfg: Config, dataroots: Sequence[str],
+                    image_hw: int) -> Dict[str, jax.Array]:
+    """Load P pairs, shorter-side resize + center crop to (image_hw,
+    image_hw) so every pair shares one static geometry."""
+    from splice_tpu.data import first_image_in, load_image
+    import os
+
+    def square(np_img):
+        h, w, _ = np_img.shape
+        short = min(h, w)
+        scale_hw = (int(round(h * image_hw / short)),
+                    int(round(w * image_hw / short)))
+        t = jax.image.resize(jnp.asarray(np_img),
+                             (scale_hw[0], scale_hw[1], 3), "bilinear",
+                             antialias=True)
+        top = (scale_hw[0] - image_hw) // 2
+        left = (scale_hw[1] - image_hw) // 2
+        return t[top:top + image_hw, left:left + image_hw]
+
+    As, Bs = [], []
+    for root in dataroots:
+        a = load_image(first_image_in(os.path.join(root, "A")), cfg.A_resize)
+        b = load_image(first_image_in(os.path.join(root, "B")), cfg.B_resize)
+        if cfg.direction == "BtoA":
+            a, b = b, a
+        As.append(square(a))
+        Bs.append(square(b))
+    return {"A": jnp.stack(As), "B": jnp.stack(Bs)}
+
+
+def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
+                n_steps: Optional[int] = None,
+                mesh: Optional[Mesh] = None) -> Dict[str, Any]:
+    """Optimize several pairs concurrently; the step count applies to all."""
+    from splice_tpu import trainer
+
+    n_pairs = len(dataroots)
+    if mesh is None:
+        mesh = mesh_lib.make_mesh(dp=min(cfg.mesh_dp, n_pairs) or 1,
+                                  tp=cfg.mesh_tp or 1)
+    extractor = trainer.make_extractor_from_config(cfg)
+    extractor = dataclasses.replace(
+        extractor,
+        params=mesh_lib.shard_vit_params(extractor.params, mesh))
+    canvas = (image_hw // 32) * 32
+    program = build_multi_pair_program(cfg, extractor, mesh, image_hw, canvas)
+
+    batch = load_pair_batch(cfg, dataroots, image_hw)
+    dp_shard = mesh_lib.dp_sharding(mesh)
+    As = jax.device_put(batch["A"], dp_shard)
+    Bs = jax.device_put(batch["B"], dp_shard)
+
+    seed = trainer.resolve_seed(cfg)
+    key = jax.random.PRNGKey(seed)
+    k_init, k_steps = jax.random.split(key)
+    states = program.init_states(k_init, n_pairs)
+
+    total = n_steps if n_steps is not None else cfg.n_epochs
+    import time
+    t0 = time.perf_counter()
+    parts = None
+    with jax.set_mesh(mesh):
+        for epoch in range(1, total + 1):
+            step_idx = epoch - 1
+            lam = jnp.asarray(trainer.lambdas_vec(cfg, step_idx))
+            fn = program.step_entire \
+                if losses_lib.is_entire_step(cfg, step_idx) \
+                else program.step_regular
+            states, parts = fn(states, As, Bs, jnp.int32(step_idx), k_steps,
+                               lam)
+        outs = program.render(states["params"], As)
+        outs.block_until_ready()
+    wall = time.perf_counter() - t0
+    return {"states": states, "outputs": outs,
+            "losses": {k: np.asarray(v) for k, v in (parts or {}).items()},
+            "steps_per_sec": total / wall,
+            "pair_steps_per_sec": total * n_pairs / wall, "wall_time": wall}

@@ -1,0 +1,176 @@
+"""Trainer tests: optimizer/scheduler parity, end-to-end tiny training run
+(loss decreases, artifacts written, determinism), checkpoint roundtrip."""
+import dataclasses
+import json
+import math
+import os
+import pathlib
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splice_tpu import trainer
+from splice_tpu.config import Config, load_config
+
+
+class TestScheduler:
+    def cfg(self, **kw):
+        return Config(**kw)
+
+    def test_none(self):
+        s = trainer.Scheduler(self.cfg(lr=0.1, scheduler_policy="none"))
+        assert s.lr_for_step(0) == s.lr_for_step(999) == 0.1
+
+    def test_linear_matches_torch_lambda(self):
+        """torch LambdaLR rule: lr * max(0, 1 - epoch/(decay+1))
+        (reference util/util.py:9-14)."""
+        s = trainer.Scheduler(self.cfg(lr=1.0, scheduler_policy="linear",
+                                       scheduler_n_epochs_decay=8))
+        assert s.lr_for_step(0) == 1.0
+        assert s.lr_for_step(3) == pytest.approx(1 - 3 / 9)
+        assert s.lr_for_step(100) == 0.0
+
+    def test_step_policy(self):
+        s = trainer.Scheduler(self.cfg(lr=1.0, scheduler_policy="step",
+                                       scheduler_lr_decay_iters=10))
+        assert s.lr_for_step(9) == 1.0
+        assert s.lr_for_step(10) == 0.5
+        assert s.lr_for_step(25) == 0.25
+
+    def test_cosine(self):
+        s = trainer.Scheduler(self.cfg(lr=2.0, scheduler_policy="cosine",
+                                       n_epochs=100))
+        assert s.lr_for_step(0) == pytest.approx(2.0)
+        assert s.lr_for_step(50) == pytest.approx(1.0)
+
+    def test_plateau(self):
+        s = trainer.Scheduler(self.cfg(lr=1.0, scheduler_policy="plateau"))
+        s.observe(1.0)
+        for _ in range(7):      # no improvement > 1% for patience 5
+            s.observe(1.0)
+        assert s.lr_for_step(0) == pytest.approx(0.2)
+
+
+class TestOptimizerParity:
+    def test_adam_first_step_matches_torch(self):
+        """optax.adam(b1=0, b2=0.99) must track torch.optim.Adam exactly
+        (reference util/util.py:28-32 betas (0.0, 0.99))."""
+        torch = pytest.importorskip("torch")
+        cfg = Config(lr=0.002, optimizer_beta1=0.0, optimizer_beta2=0.99)
+        tx = trainer.make_optimizer(cfg)
+        rng = np.random.default_rng(0)
+        w0 = rng.standard_normal(7).astype(np.float32)
+        g_seq = [rng.standard_normal(7).astype(np.float32)
+                 for _ in range(3)]
+
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        for g in g_seq:
+            updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt = torch.optim.Adam([tw], lr=0.002, betas=(0.0, 0.99))
+        for g in g_seq:
+            opt.zero_grad()
+            tw.grad = torch.from_numpy(g.copy())
+            opt.step()
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tw.detach().numpy(), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    """One shared tiny end-to-end run on the bundled cows pair."""
+    root = tmp_path_factory.mktemp("cows")
+    src = pathlib.Path("datasets/splicing/cows")
+    shutil.copytree(src / "A", root / "A")
+    shutil.copytree(src / "B", root / "B")
+    cfg = load_config(None, dict(
+        dataroot=str(root), A_resize=64, B_resize=64, seed=11,
+        n_epochs=8, entire_A_every=4, log_images_freq=4,
+        vit_compute_dtype="float32", use_pallas_attention=False,
+        remat_vit=False, dino_model_name="dino_vits8",
+        dino_global_patch_size=32, dino_global_max_size=64))
+    res = trainer.train_pair(cfg, n_steps=8)
+    return cfg, root, res
+
+
+class TestEndToEnd:
+    def test_loss_finite_and_decreases(self, tiny_run):
+        cfg, root, res = tiny_run
+        lines = [json.loads(l)
+                 for l in open(root / "out" / "metrics.jsonl")]
+        losses = [l["loss"] for l in lines]
+        assert all(math.isfinite(x) for x in losses)
+        assert losses[-1] < losses[0]
+
+    def test_artifacts_written(self, tiny_run):
+        cfg, root, res = tiny_run
+        assert (root / "out" / "output.png").exists()
+
+    def test_output_shape_and_range(self, tiny_run):
+        cfg, root, res = tiny_run
+        out = np.asarray(res["output"])
+        assert out.ndim == 3 and out.shape[-1] == 3
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_determinism(self, tiny_run):
+        """Same seed => identical loss (explicit PRNG keys; reference-style
+        global seeding cannot promise this across frameworks)."""
+        cfg, root, res = tiny_run
+        res2 = trainer.train_pair(cfg, n_steps=8)
+        for k, v in res["losses"].items():
+            assert res2["losses"][k] == pytest.approx(v, rel=1e-6), k
+
+    def test_warm_start(self, tiny_run):
+        """init_params warm-start (video mode) is honored."""
+        cfg, root, res = tiny_run
+        res2 = trainer.train_pair(cfg, init_params=res["state"]["params"],
+                                  n_steps=2)
+        assert math.isfinite(res2["losses"]["loss"])
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from splice_tpu.utils.checkpoint import Checkpointer
+        state = {"params": {"w": jnp.arange(4.0)},
+                 "step": jnp.int32(7)}
+        ck = Checkpointer(str(tmp_path / "ck"))
+        ck.save(3, state)
+        ck.wait()
+        assert ck.latest_step() == 3
+        restored = ck.restore(template=jax.tree.map(np.asarray, state))
+        np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                                   [0, 1, 2, 3])
+
+
+class TestConfig:
+    def test_defaults_match_reference_yaml(self):
+        """Our defaults == the reference conf/default/config.yaml values."""
+        c = Config()
+        assert c.lambda_global_cls == 10.0 and c.entire_A_every == 75
+        assert c.optimizer_beta1 == 0.0 and c.optimizer_beta2 == 0.99
+        assert c.lr == 0.002 and c.n_epochs == 10000
+        assert c.dino_model_name == "dino_vitb8"
+        assert c.cls_warmup == 1 and c.log_images_freq == 10
+
+    def test_yaml_roundtrip(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("lr: 0.01\nn_epochs: 5\ndirection: BtoA\n")
+        c = load_config(str(p))
+        assert c.lr == 0.01 and c.n_epochs == 5 and c.direction == "BtoA"
+
+    def test_cli_coercion(self):
+        c = load_config(None, {"lr": "0.5", "n_epochs": "3",
+                               "use_augmentations": "false"})
+        assert c.lr == 0.5 and c.n_epochs == 3
+        assert c.use_augmentations is False
+
+    def test_unknown_key_rejected(self):
+        with pytest.raises(ValueError):
+            load_config(None, {"bogus": 1})

@@ -1,0 +1,179 @@
+"""Skip U-Net generator tests: building-block golden values vs torch
+functional ops, topology invariants, init statistics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splice_tpu.models import unet
+
+
+class TestBuildingBlocks:
+    def test_batch_norm_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((4, 6, 5, 3)).astype(np.float32)
+        gamma = rng.standard_normal(3).astype(np.float32)
+        beta = rng.standard_normal(3).astype(np.float32)
+        ours = unet.batch_norm(jnp.asarray(x),
+                               {"scale": jnp.asarray(gamma),
+                                "bias": jnp.asarray(beta)})
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ref = F.batch_norm(tx, None, None, torch.from_numpy(gamma),
+                           torch.from_numpy(beta), training=True)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    @pytest.mark.parametrize("k,stride", [(3, 1), (3, 2), (5, 1), (7, 2),
+                                          (1, 1)])
+    def test_conv_matches_torch_padding(self, k, stride):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        rng = np.random.default_rng(k * 10 + stride)
+        x = rng.standard_normal((2, 13, 17, 4)).astype(np.float32)
+        w = rng.standard_normal((k, k, 4, 6)).astype(np.float32) * 0.1
+        b = rng.standard_normal(6).astype(np.float32)
+        ours = unet.conv2d(jnp.asarray(x), {"kernel": jnp.asarray(w),
+                                            "bias": jnp.asarray(b)}, stride)
+        tw = torch.from_numpy(w).permute(3, 2, 0, 1)
+        ref = F.conv2d(torch.from_numpy(x).permute(0, 3, 1, 2), tw,
+                       torch.from_numpy(b), stride=stride,
+                       padding=(k - 1) // 2)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4,
+                                   rtol=1e-4)
+
+    def test_reflection_pad_conv_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((1, 9, 9, 2)).astype(np.float32)
+        w = rng.standard_normal((5, 5, 2, 3)).astype(np.float32) * 0.1
+        ours = unet.conv2d(jnp.asarray(x), {"kernel": jnp.asarray(w)},
+                           1, pad="reflection")
+        tx = F.pad(torch.from_numpy(x).permute(0, 3, 1, 2), (2, 2, 2, 2),
+                   mode="reflect")
+        ref = F.conv2d(tx, torch.from_numpy(w).permute(3, 2, 0, 1))
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4,
+                                   rtol=1e-4)
+
+    def test_upsample_matches_torch_bilinear(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((2, 7, 9, 3)).astype(np.float32)
+        ours = unet.upsample2(jnp.asarray(x), "bilinear")
+        ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                            scale_factor=2, mode="bilinear",
+                            align_corners=False)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    def test_concat_crop_center(self):
+        a = jnp.arange(2 * 5 * 6 * 1, dtype=jnp.float32).reshape(2, 5, 6, 1)
+        b = jnp.zeros((2, 4, 4, 2))
+        out = unet.concat_crop([a, b])
+        assert out.shape == (2, 4, 4, 3)
+        # a cropped by (5-4)//2=0 rows from top, (6-4)//2=1 col from left
+        np.testing.assert_allclose(np.asarray(out[..., 0]),
+                                   np.asarray(a[:, 0:4, 1:5, 0]))
+
+    def test_leaky_relu_slope(self):
+        x = jnp.asarray([-1.0, 2.0])
+        np.testing.assert_allclose(np.asarray(unet.act(x, "LeakyReLU")),
+                                   [-0.2, 2.0])
+
+    def test_downsamplers(self):
+        x = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+        avg = unet.downsample(x, "avg")
+        assert avg.shape == (1, 2, 2, 1)
+        np.testing.assert_allclose(float(avg[0, 0, 0, 0]),
+                                   np.mean([0, 1, 4, 5]))
+        mx = unet.downsample(x, "max")
+        np.testing.assert_allclose(float(mx[0, 0, 0, 0]), 5.0)
+        lz = unet.downsample(jnp.ones((1, 8, 8, 3)), "lanczos2")
+        assert lz.shape == (1, 4, 4, 3)
+        np.testing.assert_allclose(np.asarray(lz), 1.0, atol=1e-4)
+
+
+class TestSkipNet:
+    def test_output_shape_preserved(self):
+        """down ceil(H/2) + x2 upsample + center-crop => output == input
+        spatial shape for ANY size (incl. odd), like the reference net."""
+        cfg = unet.SkipConfig()
+        params = unet.init_skip_params(jax.random.PRNGKey(0), cfg)
+        for hw in [(64, 64), (96, 128), (67, 93)]:
+            x = jnp.zeros((1, *hw, 3))
+            y = unet.skip_apply(params, cfg, x)
+            assert y.shape == (1, *hw, 3), (hw, y.shape)
+
+    def test_output_range_sigmoid(self):
+        cfg = unet.SkipConfig()
+        params = unet.init_skip_params(jax.random.PRNGKey(1), cfg)
+        x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)),
+                        jnp.float32)
+        y = unet.skip_apply(params, cfg, x)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+    def test_param_count_matches_reference_exactly(self):
+        """The reference skip() has exactly 1,037,523 parameters (measured:
+        sum(p.numel()) over reference models/unet/skip.py default net).
+        Identical topology => identical count."""
+        cfg = unet.SkipConfig()
+        params = unet.init_skip_params(jax.random.PRNGKey(0), cfg)
+        assert unet.param_count(params) == 1037523
+
+    def test_inversion_variant_runs(self):
+        cfg = unet.inversion_skip_config(8)
+        params = unet.init_skip_params(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((1, 64, 64, 8))
+        y = unet.skip_apply(params, cfg, x)
+        assert y.shape == (1, 64, 64, 3)
+
+    def test_gradients_flow(self):
+        cfg = unet.SkipConfig()
+        params = unet.init_skip_params(jax.random.PRNGKey(0), cfg)
+        x = jnp.ones((1, 32, 32, 3)) * 0.5
+
+        def loss(p):
+            return jnp.mean(unet.skip_apply(p, cfg, x) ** 2)
+
+        grads = jax.grad(loss)(params)
+        gnorms = [float(jnp.abs(g).max()) for g in jax.tree.leaves(grads)]
+        assert all(np.isfinite(gnorms))
+        assert sum(g > 0 for g in gnorms) > len(gnorms) * 0.8
+
+    def test_jit_and_batch(self):
+        cfg = unet.SkipConfig()
+        params = unet.init_skip_params(jax.random.PRNGKey(0), cfg)
+        f = jax.jit(lambda p, x: unet.skip_apply(p, cfg, x))
+        y = f(params, jnp.zeros((3, 32, 32, 3)))
+        assert y.shape == (3, 32, 32, 3)
+
+
+class TestInit:
+    def test_xavier_std(self):
+        key = jax.random.PRNGKey(0)
+        w = unet._init_conv_kernel(key, (3, 3, 64, 64), "xavier", 0.02)
+        expect = 0.02 * np.sqrt(2.0 / (3 * 3 * 64 * 2))
+        assert abs(float(jnp.std(w)) - expect) / expect < 0.1
+
+    def test_kaiming_std(self):
+        w = unet._init_conv_kernel(jax.random.PRNGKey(0), (3, 3, 64, 64),
+                                   "kaiming", 0.02)
+        expect = np.sqrt(2.0 / (3 * 3 * 64))
+        assert abs(float(jnp.std(w)) - expect) / expect < 0.1
+
+    def test_orthogonal(self):
+        w = unet._init_conv_kernel(jax.random.PRNGKey(0), (1, 1, 32, 16),
+                                   "orthogonal", 1.0)
+        m = np.asarray(w).reshape(32, 16)
+        np.testing.assert_allclose(m.T @ m, np.eye(16), atol=1e-4)
+
+    def test_bn_init_stats(self):
+        p = unet._bn_params(jax.random.PRNGKey(0), 1000, 0.02)
+        assert abs(float(jnp.mean(p["scale"])) - 1.0) < 0.01
+        assert abs(float(jnp.std(p["scale"])) - 0.02) < 0.005
+        np.testing.assert_allclose(np.asarray(p["bias"]), 0.0)
