@@ -100,23 +100,26 @@ def bench_ours() -> float:
     key = jax.random.PRNGKey(1)
     lam = jnp.asarray(trainer.lambdas_vec(cfg, 5))
 
-    # warmup / compile both step classes
+    # warmup / compile both step classes (chunk size = log_images_freq,
+    # matching what the real host loop dispatches)
+    CH = 10
     lam0 = jnp.asarray(trainer.lambdas_vec(cfg, 0))
     state, _ = program.step_entire(state, pair.A, pair.B, jnp.int32(0),
                                    key, lam0)
-    for i in range(1, WARMUP_STEPS):
-        state, parts = program.step_regular(state, pair.A, pair.B,
-                                            jnp.int32(i), key, lam)
-    jax.block_until_ready(parts)
+    state, parts = program.step_chunk(state, pair.A, pair.B, jnp.int32(1),
+                                      key, lam, CH)
+    _ = float(parts["loss"])    # force full sync through the device queue
 
     t0 = time.perf_counter()
-    for i in range(WARMUP_STEPS, WARMUP_STEPS + BENCH_STEPS):
-        state, parts = program.step_regular(state, pair.A, pair.B,
-                                            jnp.int32(i), key, lam)
-    jax.block_until_ready(parts)
+    i = 1 + CH
+    for _n in range(BENCH_STEPS // CH):
+        state, parts = program.step_chunk(state, pair.A, pair.B,
+                                          jnp.int32(i), key, lam, CH)
+        i += CH
+    loss = float(parts["loss"])  # sync
     wall = time.perf_counter() - t0
-    assert np.isfinite(float(parts["loss"])), "non-finite loss in bench"
-    return BENCH_STEPS / wall
+    assert np.isfinite(loss), "non-finite loss in bench"
+    return (BENCH_STEPS // CH) * CH / wall
 
 
 def main():

@@ -95,6 +95,12 @@ class Config:
     # Video mode: treat dataroot/A as a frame directory; warm-start each
     # frame's generator from the previous frame (BASELINE.json config 4).
     video_mode: bool = False
+    # Profiling (new; the reference has no tracing at all, SURVEY.md §5):
+    # capture a jax.profiler device trace of steps
+    # [profile_start_step, profile_start_step + profile_n_steps).
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 20
+    profile_n_steps: int = 5
 
     def validate(self) -> "Config":
         assert self.direction in ("AtoB", "BtoA"), self.direction

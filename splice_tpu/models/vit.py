@@ -326,7 +326,28 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
     block_fn = _block
     if remat:
         block_fn = jax.checkpoint(_block, static_argnums=(2, 3, 4, 5))
-    for i in range(max_layer + 1):
+
+    # Layers before the first tap are identical untapped blocks: run them as
+    # ONE lax.scan over stacked params instead of unrolling. This cuts the
+    # emitted HLO ~depth-fold (12 unrolled ViT-B blocks x fwd/bwd x several
+    # call sites otherwise exceed the TPU tunnel's program upload limit) and
+    # compiles much faster; the training path taps only layer 11, so 11 of
+    # 12 blocks ride the scan.
+    first_tap = min((min(v) for v in taps.values() if len(v)),
+                    default=max_layer + 1)
+    start = 0
+    if first_tap >= 2:
+        n_scan = first_tap
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *params["blocks"][:n_scan])
+
+        def scan_body(h, bp):
+            h, _ = block_fn(h, bp, cfg, use_pallas, (), tp_axis)
+            return h, None
+
+        x, _ = jax.lax.scan(scan_body, x, stacked)
+        start = n_scan
+    for i in range(start, max_layer + 1):
         want = tuple(sorted(k for k, layers in taps.items() if i in layers))
         x, btaps = block_fn(x, params["blocks"][i], cfg, use_pallas, want,
                             tp_axis)

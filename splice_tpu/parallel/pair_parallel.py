@@ -67,7 +67,10 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
             antialias=cfg.antialias)
         return img_ops.imagenet_normalize(y)
 
-    def per_pair_loss(params, A, B, key, lam, entire: bool):
+    def per_pair_loss(params, vit_params, A, B, key, lam, entire: bool):
+        # vit_params arrives as a jit/shard_map argument — closure-captured
+        # arrays would be baked into the HLO as literals (344MB for ViT-B).
+        ext = dataclasses.replace(extractor, params=vit_params)
         kAa, kAc, kBa, kBc = jax.random.split(key, 4)
         if cfg.use_augmentations:
             A_aug = img_ops.structure_augment(A, kAa)
@@ -83,12 +86,12 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
         x_global = unet.skip_apply(params, gcfg, A_crops)
         y_global = unet.skip_apply(params, gcfg, B_crops)
         parts, aux = losses_lib.splice_losses_fused(
-            extractor, transform(x_global), transform(A_crops),
+            ext, transform(x_global), transform(A_crops),
             transform(y_global), transform(B_crops))
         if entire:
             x_entire = unet.skip_apply(params, gcfg, A[None])
             parts.update(losses_lib.entire_losses_fused(
-                extractor, transform(x_entire), transform(A[None]),
+                ext, transform(x_entire), transform(A[None]),
                 aux["cls_B"]))
         else:
             parts["loss_entire_cls"] = jnp.float32(0.0)
@@ -98,10 +101,10 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
                   if entire or not k.startswith("loss_entire")}
         return losses_lib.weighted_total(active, lam_map), parts
 
-    def per_pair_step(state, A, B, key, lam, entire: bool):
+    def per_pair_step(state, vit_params, A, B, key, lam, entire: bool):
         (total, parts), grads = jax.value_and_grad(
-            per_pair_loss, has_aux=True)(state["params"], A, B, key, lam,
-                                         entire)
+            per_pair_loss, has_aux=True)(state["params"], vit_params, A, B,
+                                         key, lam, entire)
         updates, opt_state = tx.update(grads, state["opt_state"],
                                        state["params"])
         params = optax.apply_updates(state["params"], updates)
@@ -114,7 +117,8 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
     # Megatron sharding constraints still partition each matmul. A pure
     # spmd_axis_name=vmap formulation trips XLA's partitioner on the
     # grouped convs that batching per-pair generator kernels produces.
-    def local_step(states, As, Bs, step_idx, base_key, lam, entire: bool):
+    def local_step(states, vit_params, As, Bs, step_idx, base_key, lam,
+                   entire: bool):
         L = As.shape[0]                      # pairs on this device
         shard = jax.lax.axis_index("dp")
         gids = shard * L + jnp.arange(L)     # global pair ids -> streams
@@ -122,16 +126,20 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
             jax.random.fold_in(base_key, step_idx), i))(gids)
         return jax.vmap(
             functools.partial(per_pair_step, entire=entire),
-            in_axes=(0, 0, 0, 0, None),
-        )(states, As, Bs, keys, lam)
+            in_axes=(0, None, 0, 0, 0, None),
+        )(states, vit_params, As, Bs, keys, lam)
+
+    vparams = extractor.params
 
     def jit_step(entire):
         fn = jax.shard_map(
             functools.partial(local_step, entire=entire), mesh=mesh,
-            in_specs=(P("dp"), P("dp"), P("dp"), P(), P(), P()),
+            in_specs=(P("dp"), P(), P("dp"), P("dp"), P(), P(), P()),
             out_specs=(P("dp"), P("dp")),
             axis_names={"dp"}, check_vma=False)
-        return jax.jit(fn, donate_argnums=(0,))
+        jitted = jax.jit(fn, donate_argnums=(0,))
+        return lambda states, As, Bs, i, k, lam: \
+            jitted(states, vparams, As, Bs, i, k, lam)
 
     render_local = jax.shard_map(
         lambda ps, As: jnp.clip(

@@ -44,6 +44,7 @@ def invert(image_path: str, save_path: str, feature: str = "cls",
     target_img = jnp.asarray(img)[None]
     h, w = img.shape[0], img.shape[1]
 
+    import dataclasses as _dc
     vparams = load_or_init_vit_params(dino_model_name, vit_weights)
     extractor = ext_lib.make_extractor(dino_model_name, params=vparams)
 
@@ -59,36 +60,39 @@ def invert(image_path: str, save_path: str, feature: str = "cls",
                                                      224, None))
         return img_ops.imagenet_normalize(y)
 
-    def extract(x):
+    def extract(vp, x):
+        # vp passed as an argument: closure-captured ViT params would be
+        # baked into the HLO as literals (huge programs, slow compiles).
+        ext = _dc.replace(extractor, params=vp)
         x = preprocess(x)
         if feature == "cls":
-            feats = extractor._run(x, {"block": (layer,)})
+            feats = ext._run(x, {"block": (layer,)})
             return feats["block"][layer][:, 0, :]
-        keys = extractor.get_keys_from_input(x, layer)
-        return keys
+        return ext.get_keys_from_input(x, layer)
 
-    ref_feature = jax.lax.stop_gradient(extract(target_img))
+    ref_feature = jax.lax.stop_gradient(
+        jax.jit(extract)(vparams, target_img))
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, step_key, noise_mag):
-        noise = base_noise + noise_mag * jax.random.normal(
-            step_key, base_noise.shape)
+    def step(params, opt_state, vp, ref, noise0, step_key, noise_mag):
+        noise = noise0 + noise_mag * jax.random.normal(
+            step_key, noise0.shape)
 
         def loss_fn(p):
             out = unet.skip_apply(p, gcfg, noise)
-            f = extract(out)
-            return jnp.mean(jnp.square(f - ref_feature))
+            f = extract(vp, out)
+            return jnp.mean(jnp.square(f - ref))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def render(params, step_key, noise_mag):
-        noise = base_noise + noise_mag * jax.random.normal(
-            step_key, base_noise.shape)
+    def render(params, noise0, step_key, noise_mag):
+        noise = noise0 + noise_mag * jax.random.normal(
+            step_key, noise0.shape)
         return jnp.clip(unet.skip_apply(params, gcfg, noise)[0], 0.0, 1.0)
 
     t0 = time.perf_counter()
@@ -100,14 +104,15 @@ def invert(image_path: str, save_path: str, feature: str = "cls",
         else:
             mag = 0.0
         sk = jax.random.fold_in(k_steps, i)
-        params, opt_state, loss = step(params, opt_state, sk,
+        params, opt_state, loss = step(params, opt_state, vparams,
+                                       ref_feature, base_noise, sk,
                                        jnp.float32(mag))
         if i % log_freq == 0:
-            out = render(params, sk, jnp.float32(mag))
+            out = render(params, base_noise, sk, jnp.float32(mag))
             save_image(np.asarray(out), save_path)
             if callback is not None:
                 callback(i, float(loss), out)
-    out = render(params, jax.random.fold_in(k_steps, n_iter),
+    out = render(params, base_noise, jax.random.fold_in(k_steps, n_iter),
                  jnp.float32(0.0))
     save_image(np.asarray(out), save_path)
     return {"loss": float(loss) if loss is not None else None,

@@ -33,7 +33,7 @@ from splice_tpu.models import extractor as ext_lib
 from splice_tpu.models import unet, vit as vit_lib
 from splice_tpu.models.weights import load_or_init_vit_params
 from splice_tpu.ops import image as img_ops
-from splice_tpu.utils.io import save_result
+from splice_tpu.utils.io import AsyncImageSaver, save_result
 from splice_tpu.utils.metrics import MetricsLogger, StepTimer
 
 
@@ -122,6 +122,7 @@ class SpliceProgram:
     """Compiled artifacts for one image pair."""
     step_regular: Callable
     step_entire: Callable
+    step_chunk: Callable        # n regular steps per dispatch (lax.scan)
     render: Callable
     init_state: Callable
     gcfg: unet.SkipConfig
@@ -163,19 +164,24 @@ def build_program(cfg: Config, pair: ImagePair,
                                        cfg.antialias)
         return A_crops, B_crops
 
-    def loss_fn(params, A, B, key, lam, entire: bool):
+    def loss_fn(params, vit_params, A, B, key, lam, entire: bool):
+        # vit_params MUST be a jit argument, not a closure capture: captured
+        # arrays are embedded into the HLO as literals, and 86M frozen ViT
+        # params (~344MB) blow both compile time and the TPU tunnel's
+        # program-upload limit.
+        ext = dataclasses.replace(extractor, params=vit_params)
         A_crops, B_crops = sample_inputs(A, B, key)
         x_global = unet.skip_apply(params, gcfg, A_crops)
         y_global = unet.skip_apply(params, gcfg, B_crops)
         parts, aux = losses_lib.splice_losses_fused(
-            extractor, transform(x_global), transform(A_crops),
+            ext, transform(x_global), transform(A_crops),
             transform(y_global), transform(B_crops))
         if entire:
             x_entire = unet.skip_apply(params, gcfg, A[None])
             # entire-cls target: CLS of the first B crop (losses.py:60,87),
             # reused from the main fused batch.
             parts.update(losses_lib.entire_losses_fused(
-                extractor, transform(x_entire), transform(A[None]),
+                ext, transform(x_entire), transform(A[None]),
                 aux["cls_B"]))
         else:
             parts["loss_entire_cls"] = jnp.float32(0.0)
@@ -186,20 +192,51 @@ def build_program(cfg: Config, pair: ImagePair,
         total = losses_lib.weighted_total(active, lam_map)
         return total, parts
 
-    def step(state, A, B, step_idx, base_key, lam, entire: bool):
+    def step(state, vit_params, A, B, step_idx, base_key, lam,
+             entire: bool):
         key = jax.random.fold_in(base_key, step_idx)
         (total, parts), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state["params"], A, B, key, lam, entire)
+            loss_fn, has_aux=True)(state["params"], vit_params, A, B, key,
+                                   lam, entire)
         updates, opt_state = tx.update(grads, state["opt_state"],
                                        state["params"])
         params = optax.apply_updates(state["params"], updates)
         parts["loss"] = total
         return {"params": params, "opt_state": opt_state}, parts
 
-    step_regular = jax.jit(functools.partial(step, entire=False),
-                           donate_argnums=(0,))
-    step_entire = jax.jit(functools.partial(step, entire=True),
+    def chunk(state, vit_params, A, B, start_idx, base_key, lam, n: int):
+        """lax.scan over n regular steps: ONE dispatch per chunk instead of
+        per step (host/tunnel dispatch overhead would otherwise dwarf the
+        ~ms device step). Returns the last step's losses."""
+        def body(st, i):
+            st, parts = step(st, vit_params, A, B, start_idx + i, base_key,
+                             lam, entire=False)
+            return st, parts
+
+        state, parts_seq = jax.lax.scan(body, state, jnp.arange(n))
+        return state, jax.tree.map(lambda x: x[-1], parts_seq)
+
+    _jit_chunks: Dict[int, Callable] = {}
+    _jit_entire = jax.jit(functools.partial(step, entire=True),
                           donate_argnums=(0,))
+    vparams = extractor.params   # passed at call time => XLA parameter
+    # (closure-captured params would be embedded as HLO literals: 344MB of
+    # ViT-B weights per program, breaking compile time and upload limits)
+
+    def step_chunk(state, A, B, start_idx, base_key, lam, n: int):
+        """Run n consecutive regular steps (one compiled program per
+        distinct n; the host loop uses a handful of sizes)."""
+        if n not in _jit_chunks:
+            _jit_chunks[n] = jax.jit(functools.partial(chunk, n=n),
+                                     donate_argnums=(0,))
+        return _jit_chunks[n](state, vparams, A, B, start_idx, base_key,
+                              lam)
+
+    def step_regular(state, A, B, step_idx, base_key, lam):
+        return step_chunk(state, A, B, step_idx, base_key, lam, 1)
+
+    def step_entire(state, A, B, step_idx, base_key, lam):
+        return _jit_entire(state, vparams, A, B, step_idx, base_key, lam)
 
     @jax.jit
     def render(params, A):
@@ -214,7 +251,8 @@ def build_program(cfg: Config, pair: ImagePair,
         return {"params": params, "opt_state": tx.init(params)}
 
     return SpliceProgram(step_regular=step_regular, step_entire=step_entire,
-                         render=render, init_state=init_state, gcfg=gcfg,
+                         step_chunk=step_chunk, render=render,
+                         init_state=init_state, gcfg=gcfg,
                          extractor=extractor)
 
 
@@ -275,34 +313,87 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
 
     total_steps = n_steps if n_steps is not None else cfg.n_epochs
     last_losses: Dict[str, Any] = {}
+    saver = AsyncImageSaver()
+    out_png = f"{root}/out/output.png"
+
+    def boundaries_after(i: int) -> int:
+        """Next step index (exclusive) where the host must intervene:
+        an entire-A step, a log/checkpoint boundary, a profiler mark, or
+        the lambda-warmup switch."""
+        cands = [total_steps]
+        # next entire-A step strictly after i
+        if cfg.lambda_entire_ssim > 0 or cfg.lambda_entire_cls > 0:
+            nxt = ((i // cfg.entire_A_every) + 1) * cfg.entire_A_every
+            cands.append(nxt)
+        # log boundary: epochs (1-based) multiple of log_images_freq
+        # -> step index log_images_freq*k - 1 must END a chunk
+        k = (i + 1 + cfg.log_images_freq - 1) // cfg.log_images_freq
+        cands.append(k * cfg.log_images_freq)
+        if ckpt is not None:
+            k = (i + 1 + cfg.checkpoint_every - 1) // cfg.checkpoint_every
+            cands.append(k * cfg.checkpoint_every)
+        if i < cfg.cls_warmup:
+            cands.append(cfg.cls_warmup)
+        if cfg.profile_dir:
+            for m in (cfg.profile_start_step,
+                      cfg.profile_start_step + cfg.profile_n_steps):
+                if m > i:
+                    cands.append(m)
+        if cfg.scheduler_policy != "none":
+            cands.append(i + 1)     # per-step LR fidelity for schedulers
+        return min(c for c in cands if c > i)
+
     t_start = time.perf_counter()
-    for epoch in range(1, total_steps + 1):
-        step_idx = epoch - 1          # dataset counter is 0-based
+    step_idx = 0
+    while step_idx < total_steps:
         lam = lambdas_vec(cfg, step_idx)
         lr = sched.lr_for_step(step_idx)
         state["opt_state"].hyperparams["learning_rate"] = jnp.asarray(
             lr, jnp.float32)
-        fn = program.step_entire if losses_lib.is_entire_step(cfg, step_idx) \
-            else program.step_regular
-        state, parts = fn(state, pair.A, pair.B, jnp.int32(step_idx),
-                          k_steps, jnp.asarray(lam))
-        timer.tick()
+        if cfg.profile_dir and step_idx == cfg.profile_start_step:
+            jax.profiler.start_trace(cfg.profile_dir)
+        if cfg.profile_dir and \
+                step_idx == cfg.profile_start_step + cfg.profile_n_steps:
+            jax.tree.map(lambda x: x.block_until_ready(), state)
+            jax.profiler.stop_trace()
+        if losses_lib.is_entire_step(cfg, step_idx):
+            state, parts = program.step_entire(
+                state, pair.A, pair.B, jnp.int32(step_idx), k_steps,
+                jnp.asarray(lam))
+            n_done = 1
+        else:
+            end = boundaries_after(step_idx)
+            # regular chunk must not swallow an entire-A step
+            if cfg.lambda_entire_ssim > 0 or cfg.lambda_entire_cls > 0:
+                nxt_entire = ((step_idx // cfg.entire_A_every) + 1) \
+                    * cfg.entire_A_every
+                end = min(end, nxt_entire)
+            n_done = end - step_idx
+            state, parts = program.step_chunk(
+                state, pair.A, pair.B, jnp.int32(step_idx), k_steps,
+                jnp.asarray(lam), n_done)
+        step_idx += n_done
+        timer.tick(n_done)
 
-        if epoch % cfg.log_images_freq == 0:
+        if step_idx % cfg.log_images_freq == 0 or step_idx >= total_steps:
             out = program.render(state["params"], pair.A)
-            save_result(np.asarray(out), root)
+            saver.save(np.asarray(out), out_png)
             last_losses = {k: float(v) for k, v in parts.items()}
             sched.observe(last_losses.get("loss", math.inf))
-            logger.log(step_idx, {**last_losses, "lr": lr,
-                                  "steps_per_sec": timer.rate()})
+            logger.log(step_idx - 1, {**last_losses, "lr": lr,
+                                      "steps_per_sec": timer.rate()})
             if callback is not None:
                 callback(out)
-        if ckpt is not None and epoch % cfg.checkpoint_every == 0:
-            ckpt.save(epoch, state)
-    # Final render
+        if ckpt is not None and step_idx % cfg.checkpoint_every == 0:
+            ckpt.save(step_idx, state)
+    # Final render + final loss snapshot (a run shorter than one log
+    # interval must still report its losses)
     out = program.render(state["params"], pair.A)
     out.block_until_ready()
     wall = time.perf_counter() - t_start
+    if total_steps > 0:
+        last_losses = {k: float(v) for k, v in parts.items()}
+    saver.close()
     save_result(np.asarray(out), root)
     logger.close()
     return {"state": state, "losses": last_losses,

@@ -1,30 +1,85 @@
-"""Output/IO utilities (reference util/util.py:42-59)."""
+"""Output/IO utilities (reference util/util.py:42-59).
+
+PNG writes go through the native C++ encoder (splice_tpu/native/pngio.cpp)
+when available — the periodic output dump is the only host-side work left in
+the hot loop — with a PIL fallback. `AsyncImageSaver` moves even that off
+the training thread.
+"""
 from __future__ import annotations
 
 import os
 import pathlib
+import queue
+import threading
 from typing import Optional
 
 import numpy as np
-from PIL import Image
+
+
+def _to_uint8(image_hwc01) -> np.ndarray:
+    arr = np.asarray(image_hwc01)
+    return (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def _write_png(arr_u8: np.ndarray, path: str) -> None:
+    from splice_tpu import native
+    data = native.encode_png_rgb8(arr_u8)
+    if data is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+        return
+    from PIL import Image
+    Image.fromarray(arr_u8).save(path)
+
+
+def save_image(image_hwc01, path: str) -> str:
+    pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
+    _write_png(_to_uint8(image_hwc01), path)
+    return path
 
 
 def save_result(image_hwc01, dataroot: str,
                 filename: str = "output.png") -> str:
     """float [H,W,3] in [0,1] -> <dataroot>/out/<filename> PNG
     (reference util.py:55-59)."""
-    arr = np.asarray(image_hwc01)
-    arr = (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
-    out_dir = pathlib.Path(dataroot) / "out"
-    out_dir.mkdir(parents=True, exist_ok=True)
-    path = str(out_dir / filename)
-    Image.fromarray(arr).save(path)
-    return path
+    return save_image(image_hwc01, str(pathlib.Path(dataroot) / "out"
+                                       / filename))
 
 
-def save_image(image_hwc01, path: str) -> str:
-    arr = np.asarray(image_hwc01)
-    arr = (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
-    pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
-    Image.fromarray(arr).save(path)
-    return path
+class AsyncImageSaver:
+    """Background-thread PNG writer so the train loop never blocks on IO.
+    Keeps at most one pending image per path (newer frames win)."""
+
+    def __init__(self):
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            arr, path = item
+            try:
+                pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
+                _write_png(arr, path)
+            except Exception:
+                pass
+            finally:
+                self._q.task_done()
+
+    def save(self, image_hwc01, path: str) -> None:
+        arr = _to_uint8(image_hwc01)
+        try:
+            self._q.put_nowait((arr, path))
+        except queue.Full:
+            pass    # drop frame; a newer one will land shortly
+
+    def flush(self) -> None:
+        self._q.join()
+
+    def close(self) -> None:
+        self.flush()
+        self._q.put(None)
+        self._thread.join(timeout=5)

@@ -92,11 +92,11 @@ def tiny_run(tmp_path_factory):
     shutil.copytree(src / "B", root / "B")
     cfg = load_config(None, dict(
         dataroot=str(root), A_resize=64, B_resize=64, seed=11,
-        n_epochs=8, entire_A_every=4, log_images_freq=4,
+        n_epochs=20, entire_A_every=10, log_images_freq=4,
         vit_compute_dtype="float32", use_pallas_attention=False,
         remat_vit=False, dino_model_name="dino_vits8",
         dino_global_patch_size=32, dino_global_max_size=64))
-    res = trainer.train_pair(cfg, n_steps=8)
+    res = trainer.train_pair(cfg, n_steps=20)
     return cfg, root, res
 
 
@@ -123,7 +123,7 @@ class TestEndToEnd:
         """Same seed => identical loss (explicit PRNG keys; reference-style
         global seeding cannot promise this across frameworks)."""
         cfg, root, res = tiny_run
-        res2 = trainer.train_pair(cfg, n_steps=8)
+        res2 = trainer.train_pair(cfg, n_steps=20)
         for k, v in res["losses"].items():
             assert res2["losses"][k] == pytest.approx(v, rel=1e-6), k
 
