@@ -64,8 +64,17 @@ class Config:
     # pipeline still runs end to end; feature quality needs real weights).
     vit_weights: Optional[str] = None
     # Compute dtype for the frozen ViT tower ("bfloat16" rides the MXU at 2x;
-    # layernorm/softmax/gram stay fp32 regardless). Generator is always fp32.
+    # layernorm/softmax/gram stay fp32 regardless).
     vit_compute_dtype: str = "bfloat16"
+    # Compute dtype for the generator convs. fp32 conv is ~8x slower on the
+    # TPU MXU and the full-res generator dominates the step; params stay
+    # fp32 masters and BatchNorm statistics are fp32 either way.
+    generator_compute_dtype: str = "bfloat16"
+    # Generator layout: "chw" computes the U-Net in [B,C,H,W] with convs as
+    # shifted channel-contraction matmuls — ~2x faster than NHWC on TPU for
+    # these tiny channel counts (lane padding waste). "nhwc" is the
+    # torch-layout reference path used by the parity tests.
+    generator_layout: str = "chw"
     # Use the Pallas fused-attention kernel inside the ViT (fallback: XLA).
     use_pallas_attention: bool = True
     # Static crop canvas. The reference samples a fresh crop size every step
@@ -85,8 +94,11 @@ class Config:
     resume_from: Optional[str] = None
     # Metrics JSONL path (None → <dataroot>/out/metrics.jsonl).
     metrics_path: Optional[str] = None
-    # Remat the ViT blocks (trade FLOPs for HBM; needed at high res).
-    remat_vit: bool = True
+    # Remat the ViT blocks (trade FLOPs for HBM). Off by default: at 224px
+    # loss resolution the activations are ~hundreds of MB and the remat
+    # recompute costs ~25% of the ViT backward. Enable for 480px+ losses or
+    # ViT-L backbones.
+    remat_vit: bool = False
     # Multi-pair scale-out: optimize `n_pairs` independent image pairs inside
     # one compiled step, sharded over the `dp` mesh axis (SURVEY.md §5).
     n_pairs: int = 1
@@ -108,6 +120,8 @@ class Config:
         assert self.scheduler_policy in ("linear", "step", "plateau", "cosine", "none")
         assert self.optimizer in ("adam", "rmsprop", "sgd")
         assert self.vit_compute_dtype in ("bfloat16", "float32")
+        assert self.generator_compute_dtype in ("bfloat16", "float32")
+        assert self.generator_layout in ("chw", "nhwc")
         assert self.global_A_crops_n_crops >= 1 and self.global_B_crops_n_crops >= 1
         assert 0.0 < self.global_A_crops_min_cover <= 1.0
         assert 0.0 < self.global_B_crops_min_cover <= 1.0

@@ -82,6 +82,10 @@ def load_pair(cfg, dataroot: Optional[str] = None) -> ImagePair:
         a_np, b_np = b_np, a_np
     ca = crop_canvas_size(a_np.shape[0], a_np.shape[1], cfg.crop_canvas)
     cb = crop_canvas_size(b_np.shape[0], b_np.shape[1], cfg.crop_canvas)
+    # One shared canvas: lets the trainer run the A-crop and B-crop
+    # generator passes as a single vmapped batch (bigger convs, half the
+    # kernel dispatches) while BatchNorm stats stay per-stack.
+    ca = cb = min(ca, cb)
     return ImagePair(A=jnp.asarray(a_np), B=jnp.asarray(b_np),
                      canvas_A=ca, canvas_B=cb)
 

@@ -129,21 +129,25 @@ def splice_losses_fused(extractor: ext.VitExtractor,
     layer = cfg.depth - 1 if ssim_layer is None else ssim_layer
     n = gen_A.shape[0]
     m = gen_B.shape[0]
-    batch = jnp.concatenate([
-        gen_A,
-        jax.lax.stop_gradient(crops_A),
-        gen_B,
-        jax.lax.stop_gradient(crops_B),
-    ], axis=0)
-    feats = extractor._run(batch, {"qkv": (layer,),
-                                   "block": (cfg.depth - 1,)})
-    keys = ext.keys_from_qkv(feats["qkv"][layer], cfg.num_heads)  # [4n,H,T,dh]
-    cls = feats["block"][cfg.depth - 1][:, 0, :]                  # [4n,D]
+    taps = {"qkv": (layer,), "block": (cfg.depth - 1,)}
+    # Two batched forwards: generated entries (carry grad through the
+    # frozen ViT, reference losses.py:81,90,103) and targets (no_grad,
+    # losses.py:79-80,91-92,101-102). Keeping the targets OUT of the
+    # differentiated batch halves the ViT backward: batch entries share
+    # matmuls, so stop_gradient alone would still backprop a 2x batch.
+    gen_feats = extractor._run(jnp.concatenate([gen_A, gen_B], axis=0),
+                               taps)
+    tgt_feats = jax.lax.stop_gradient(extractor._run(
+        jnp.concatenate([crops_A, crops_B], axis=0), taps))
+    gen_keys = ext.keys_from_qkv(gen_feats["qkv"][layer], cfg.num_heads)
+    tgt_keys = ext.keys_from_qkv(tgt_feats["qkv"][layer], cfg.num_heads)
+    gen_cls = gen_feats["block"][cfg.depth - 1][:, 0, :]
+    tgt_cls = tgt_feats["block"][cfg.depth - 1][:, 0, :]
 
-    k_genA, k_A = keys[:n], keys[n:2 * n]
-    k_genB, k_B = keys[2 * n:2 * n + m], keys[2 * n + m:]
-    cls_genA = cls[:n]
-    cls_B = cls[2 * n + m:]
+    k_genA, k_genB = gen_keys[:n], gen_keys[n:]
+    k_A, k_B = tgt_keys[:n], tgt_keys[n:]
+    cls_genA = gen_cls[:n]
+    cls_B = tgt_cls[n:]
 
     # Appearance targets: reference zips gen crops with B crops; with
     # unequal counts torch's zip truncates — we truncate likewise.
@@ -174,14 +178,14 @@ def entire_losses_fused(extractor: ext.VitExtractor,
     """
     cfg = extractor.cfg
     layer = cfg.depth - 1 if ssim_layer is None else ssim_layer
-    batch = jnp.concatenate(
-        [gen_entire, jax.lax.stop_gradient(entire_A)], axis=0)
-    feats = extractor._run(batch, {"qkv": (layer,),
-                                   "block": (cfg.depth - 1,)})
-    keys = ext.keys_from_qkv(feats["qkv"][layer], cfg.num_heads)
-    cls_gen = feats["block"][cfg.depth - 1][:1, 0, :]
+    taps = {"qkv": (layer,), "block": (cfg.depth - 1,)}
+    gen_feats = extractor._run(gen_entire, taps)
+    tgt_feats = jax.lax.stop_gradient(extractor._run(entire_A, taps))
+    gen_keys = ext.keys_from_qkv(gen_feats["qkv"][layer], cfg.num_heads)
+    tgt_keys = ext.keys_from_qkv(tgt_feats["qkv"][layer], cfg.num_heads)
+    cls_gen = gen_feats["block"][cfg.depth - 1][:1, 0, :]
     return {
-        "loss_entire_ssim": structure_loss(keys[:1], keys[1:]),
+        "loss_entire_ssim": structure_loss(gen_keys, tgt_keys),
         "loss_entire_cls": appearance_loss(cls_gen, cls_B_targets[:1]),
     }
 

@@ -94,12 +94,21 @@ def act(x: jax.Array, act_fun: str) -> jax.Array:
 def batch_norm(x: jax.Array, p: Dict[str, jax.Array],
                eps: float = 1e-5) -> jax.Array:
     """Train-mode BatchNorm2d over (N, H, W), biased variance, per-channel
-    affine (torch semantics, reference common.py:95-96). x: [B, H, W, C]."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(0, 1, 2))
-    var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+    affine (torch semantics, reference common.py:95-96). x: [B, H, W, C].
+
+    Statistics accumulate in fp32 (reduction dtype), but the full-resolution
+    activation is never materialized in fp32: normalization folds into one
+    elementwise pass in the input dtype, y = x*scale' + shift' with
+    per-channel fp32 scalars. In bf16 mode this halves the HBM traffic of
+    every BN and removes the convert ops around it."""
+    mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+    # deviation form (not E[x^2]-m^2): robust to bf16 cancellation when
+    # std << mean; the subtraction fuses into the reduction.
+    dev = x - mean.astype(x.dtype)
+    var = jnp.mean(jnp.square(dev), axis=(0, 1, 2), dtype=jnp.float32)
+    inv = jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    shift = p["bias"].astype(jnp.float32) - mean * inv
+    return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 def conv2d(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
@@ -114,10 +123,12 @@ def conv2d(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
         padding = "VALID"
     else:
         padding = ((to_pad, to_pad), (to_pad, to_pad))
+    # No preferred_element_type: it would make the conv's transpose see
+    # mixed dtypes under grad in bf16 mode (MXU still accumulates fp32
+    # internally before rounding to the output dtype).
     y = jax.lax.conv_general_dilated(
         x, p["kernel"].astype(x.dtype), (stride, stride), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     return y
@@ -219,6 +230,131 @@ def concat_crop(xs: Sequence[jax.Array]) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# CHW layout path (TPU-fast)
+# ---------------------------------------------------------------------------
+# The generator's channel counts (3..128) are tiny next to the TPU's
+# 128-lane registers: in NHWC, XLA keeps C in the lane dimension and pads it
+# to 128, wasting up to 8x of HBM traffic and littering the graph with
+# layout conversions (profiled: the NHWC U-Net was ~80% of the train step).
+# In [B, C, H, W] the full-width W occupies the lanes with zero padding, and
+# each kxk conv becomes k*k shifted channel-contraction matmuls whose rhs
+# [Cin, H*W] layout is exactly what the MXU wants. Autodiff of this
+# formulation yields equally well-laid-out backward dots.
+
+def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
+               pad: str = "zero") -> jax.Array:
+    """Conv via shifted dots. x: [B, Cin, H, W]; kernel [kh, kw, Cin, Cout]
+    (same param format as the NHWC path); torch (k-1)//2 padding."""
+    w = p["kernel"]
+    kh, kw, cin, cout = w.shape
+    to_pad = (kh - 1) // 2
+    B, C, H, W = x.shape
+    if to_pad > 0:
+        mode = "reflect" if pad == "reflection" else "constant"
+        x = jnp.pad(x, ((0, 0), (0, 0), (to_pad, to_pad), (to_pad, to_pad)),
+                    mode=mode)
+    if stride == 2:
+        # Space-to-depth: phases xp[py,px][i,j] = x[2i+py, 2j+px]; the
+        # stride-2 tap at (dy, dx) is phase (dy%2, dx%2) shifted by
+        # (dy//2, dx//2). Exact rewrite of the strided conv with every dot
+        # running at stride 1.
+        Hp, Wp = x.shape[2], x.shape[3]
+        Ho = (Hp - kh) // 2 + 1
+        Wo = (Wp - kw) // 2 + 1
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp % 2 + 1), (0, Wp % 2 + 1)))
+        phases = [[x[:, :, py::2, px::2] for px in range(2)]
+                  for py in range(2)]
+        out = None
+        for dy in range(kh):
+            for dx in range(kw):
+                ph = phases[dy % 2][dx % 2]
+                sl = ph[:, :, dy // 2:dy // 2 + Ho, dx // 2:dx // 2 + Wo]
+                t = jnp.einsum("io,bihw->bohw", w[dy, dx].astype(x.dtype),
+                               sl, preferred_element_type=jnp.float32)
+                out = t if out is None else out + t
+    else:
+        Ho, Wo = x.shape[2] - kh + 1, x.shape[3] - kw + 1
+        out = None
+        for dy in range(kh):
+            for dx in range(kw):
+                sl = x[:, :, dy:dy + Ho, dx:dx + Wo]
+                t = jnp.einsum("io,bihw->bohw", w[dy, dx].astype(x.dtype),
+                               sl, preferred_element_type=jnp.float32)
+                out = t if out is None else out + t
+    out = out.astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)[:, None, None]
+    return out
+
+
+def batch_norm_chw(x: jax.Array, p: Dict[str, jax.Array],
+                   eps: float = 1e-5) -> jax.Array:
+    """batch_norm for [B, C, H, W] (same math; stats over B, H, W)."""
+    mean = jnp.mean(x, axis=(0, 2, 3), dtype=jnp.float32)
+    dev = x - mean.astype(x.dtype)[:, None, None]
+    var = jnp.mean(jnp.square(dev), axis=(0, 2, 3), dtype=jnp.float32)
+    inv = jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    shift = p["bias"].astype(jnp.float32) - mean * inv
+    return x * inv.astype(x.dtype)[:, None, None] \
+        + shift.astype(x.dtype)[:, None, None]
+
+
+def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
+                   x_nhwc: jax.Array, compute_dtype=None) -> jax.Array:
+    """skip_apply computed internally in CHW; NHWC in/out, fp32 out.
+
+    Supports the training path (downsample_mode='stride', zero/reflection
+    pad); other downsamplers fall back to the NHWC path.
+    """
+    if cfg.downsample_mode != "stride":
+        return skip_apply(params, cfg, x_nhwc, compute_dtype)
+    x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    n = cfg.n_scales
+
+    def scale_fn(i: int, xin: jax.Array) -> jax.Array:
+        sp = params["scales"][i]
+        branches = []
+        if cfg.channels_skip[i]:
+            s = conv2d_chw(xin, sp["skip_conv"], 1, cfg.pad)
+            s = act(batch_norm_chw(s, sp["skip_bn"]), cfg.act_fun)
+            branches.append(s)
+        d = conv2d_chw(xin, sp["down_conv1"], 2, cfg.pad)
+        d = act(batch_norm_chw(d, sp["down_bn1"]), cfg.act_fun)
+        d = conv2d_chw(d, sp["down_conv2"], 1, cfg.pad)
+        d = act(batch_norm_chw(d, sp["down_bn2"]), cfg.act_fun)
+        inner = scale_fn(i + 1, d) if i < n - 1 else d
+        b, c, h, w = inner.shape
+        method = {"bilinear": "bilinear", "nearest": "nearest"}[
+            cfg.upsample_mode]
+        u = jax.image.resize(inner, (b, c, 2 * h, 2 * w), method=method)
+        branches.append(u)
+        th = min(t.shape[2] for t in branches)
+        tw = min(t.shape[3] for t in branches)
+        branches = [t[:, :, (t.shape[2] - th) // 2:(t.shape[2] - th) // 2
+                      + th, (t.shape[3] - tw) // 2:(t.shape[3] - tw) // 2
+                      + tw] for t in branches]
+        y = jnp.concatenate(branches, axis=1)
+        y = batch_norm_chw(y, sp["post_bn"])
+        y = act(batch_norm_chw(conv2d_chw(y, sp["up_conv"], 1, cfg.pad),
+                               sp["up_bn"]), cfg.act_fun)
+        if cfg.need1x1_up:
+            y = act(batch_norm_chw(conv2d_chw(y, sp["up1x1_conv"], 1,
+                                              cfg.pad), sp["up1x1_bn"]),
+                    cfg.act_fun)
+        return y
+
+    y = scale_fn(0, x)
+    y = conv2d_chw(y, params["out_conv"], 1, cfg.pad).astype(jnp.float32)
+    if cfg.need_sigmoid:
+        y = jax.nn.sigmoid(y)
+    elif cfg.need_tanh:
+        y = jnp.tanh(y)
+    return jnp.transpose(y, (0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------------------
 # Init (reference networks.py:24-53 semantics)
 # ---------------------------------------------------------------------------
 
@@ -303,12 +439,20 @@ def init_skip_params(key: jax.Array, cfg: SkipConfig,
 # ---------------------------------------------------------------------------
 
 def skip_apply(params: Dict[str, Any], cfg: SkipConfig,
-               x: jax.Array) -> jax.Array:
-    """Generator forward. x: [B, H, W, Cin] in [0,1] -> [B, H', W', Cout].
+               x: jax.Array, compute_dtype=None) -> jax.Array:
+    """Generator forward. x: [B, H, W, Cin] in [0,1] -> [B, H', W', Cout]
+    float32.
 
     H'/W' equal H/W when H, W are multiples of 2**n_scales; otherwise the
     center-crop concat trims exactly as the reference does.
+
+    compute_dtype=bfloat16 runs the convs on the MXU at full rate (fp32
+    conv is ~8x slower on TPU and dominates the step at full-res crops);
+    params stay fp32 masters, BatchNorm statistics are always fp32
+    (batch_norm internals), and the output is returned in fp32.
     """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     n = cfg.n_scales
 
     def scale_fn(i: int, xin: jax.Array) -> jax.Array:
@@ -339,7 +483,7 @@ def skip_apply(params: Dict[str, Any], cfg: SkipConfig,
         return y
 
     y = scale_fn(0, x)
-    y = conv2d(y, params["out_conv"], 1, cfg.pad)
+    y = conv2d(y, params["out_conv"], 1, cfg.pad).astype(jnp.float32)
     if cfg.need_sigmoid:
         y = jax.nn.sigmoid(y)
     elif cfg.need_tanh:

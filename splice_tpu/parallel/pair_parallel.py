@@ -58,6 +58,9 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
     gcfg = gcfg or unet.SkipConfig()
     nA, nB = cfg.global_A_crops_n_crops, cfg.global_B_crops_n_crops
     tx = make_optimizer(cfg)
+    gdt = jnp.bfloat16 if cfg.generator_compute_dtype == "bfloat16" else None
+    g_apply = unet.skip_apply_chw if cfg.generator_layout == "chw" \
+        else unet.skip_apply
     extractor = dataclasses.replace(
         extractor, tp_axis="tp" if mesh.shape["tp"] > 1 else None)
 
@@ -83,13 +86,13 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
         B_crops = img_ops.global_crops(B_aug, kBc, nB,
                                        cfg.global_B_crops_min_cover, canvas,
                                        cfg.antialias)
-        x_global = unet.skip_apply(params, gcfg, A_crops)
-        y_global = unet.skip_apply(params, gcfg, B_crops)
+        x_global = g_apply(params, gcfg, A_crops, gdt)
+        y_global = g_apply(params, gcfg, B_crops, gdt)
         parts, aux = losses_lib.splice_losses_fused(
             ext, transform(x_global), transform(A_crops),
             transform(y_global), transform(B_crops))
         if entire:
-            x_entire = unet.skip_apply(params, gcfg, A[None])
+            x_entire = g_apply(params, gcfg, A[None], gdt)
             parts.update(losses_lib.entire_losses_fused(
                 ext, transform(x_entire), transform(A[None]),
                 aux["cls_B"]))

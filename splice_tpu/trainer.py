@@ -127,6 +127,8 @@ class SpliceProgram:
     init_state: Callable
     gcfg: unet.SkipConfig
     extractor: ext_lib.VitExtractor
+    unravel: Callable = None    # flat param vector -> param tree
+    ravel: Callable = None      # param tree -> flat vector
 
 
 def lambdas_vec(cfg: Config, step: int) -> np.ndarray:
@@ -141,6 +143,9 @@ def build_program(cfg: Config, pair: ImagePair,
     nA, nB = cfg.global_A_crops_n_crops, cfg.global_B_crops_n_crops
     SA, SB = pair.canvas_A, pair.canvas_B
     tx = make_optimizer(cfg)
+    gdt = jnp.bfloat16 if cfg.generator_compute_dtype == "bfloat16" else None
+    g_apply = unet.skip_apply_chw if cfg.generator_layout == "chw" \
+        else unet.skip_apply
 
     def transform(x):
         """Loss-side preprocessing (reference losses.py:17-24)."""
@@ -164,20 +169,42 @@ def build_program(cfg: Config, pair: ImagePair,
                                        cfg.antialias)
         return A_crops, B_crops
 
-    def loss_fn(params, vit_params, A, B, key, lam, entire: bool):
+    # Generator params live in the train state as ONE flat fp32 vector:
+    # Adam over ~200 separate conv/BN leaves lowers to >1k tiny kernels per
+    # step (tens of ms of pure launch overhead on TPU), while Adam over one
+    # contiguous 1M-element vector is a single fused kernel; it also shrinks
+    # the lax.scan carry from ~600 buffers to 3.
+    from jax.flatten_util import ravel_pytree
+    _p0 = unet.init_skip_params(jax.random.PRNGKey(0), gcfg, cfg.init_type,
+                                cfg.init_gain)
+    _flat0, unravel = ravel_pytree(_p0)
+
+    def loss_fn(flat_params, vit_params, A, B, key, lam, entire: bool):
+        params = unravel(flat_params)
         # vit_params MUST be a jit argument, not a closure capture: captured
         # arrays are embedded into the HLO as literals, and 86M frozen ViT
         # params (~344MB) blow both compile time and the TPU tunnel's
         # program-upload limit.
         ext = dataclasses.replace(extractor, params=vit_params)
         A_crops, B_crops = sample_inputs(A, B, key)
-        x_global = unet.skip_apply(params, gcfg, A_crops)
-        y_global = unet.skip_apply(params, gcfg, B_crops)
+        if SA == SB and nA == nB:
+            # One vmapped generator pass over both crop stacks: convs see
+            # batch 2n (the tiny-channel U-Net is dispatch/utilization
+            # bound at batch 1), while BatchNorm statistics remain
+            # per-stack exactly like the reference's two separate forwards
+            # (reference model.py:15-23).
+            outs = jax.vmap(
+                lambda xs: g_apply(params, gcfg, xs, gdt)
+            )(jnp.stack([A_crops, B_crops]))
+            x_global, y_global = outs[0], outs[1]
+        else:
+            x_global = g_apply(params, gcfg, A_crops, gdt)
+            y_global = g_apply(params, gcfg, B_crops, gdt)
         parts, aux = losses_lib.splice_losses_fused(
             ext, transform(x_global), transform(A_crops),
             transform(y_global), transform(B_crops))
         if entire:
-            x_entire = unet.skip_apply(params, gcfg, A[None])
+            x_entire = g_apply(params, gcfg, A[None], gdt)
             # entire-cls target: CLS of the first B crop (losses.py:60,87),
             # reused from the main fused batch.
             parts.update(losses_lib.entire_losses_fused(
@@ -239,21 +266,29 @@ def build_program(cfg: Config, pair: ImagePair,
         return _jit_entire(state, vparams, A, B, step_idx, base_key, lam)
 
     @jax.jit
-    def render(params, A):
+    def render(flat_params, A):
         """Full-image generator forward for logging (reference train.py
         :70-74 runs this under no_grad; here it is simply not
         differentiated)."""
-        return jnp.clip(unet.skip_apply(params, gcfg, A[None])[0], 0.0, 1.0)
+        return jnp.clip(
+            g_apply(unravel(flat_params), gcfg, A[None], gdt)[0],
+            0.0, 1.0)
 
     def init_state(key) -> Dict[str, Any]:
         params = unet.init_skip_params(key, gcfg, cfg.init_type,
                                        cfg.init_gain)
-        return {"params": params, "opt_state": tx.init(params)}
+        flat, _ = ravel_pytree(params)
+        return {"params": flat, "opt_state": tx.init(flat)}
+
+    def ravel_params(tree):
+        flat, _ = ravel_pytree(tree)
+        return flat
 
     return SpliceProgram(step_regular=step_regular, step_entire=step_entire,
                          step_chunk=step_chunk, render=render,
                          init_state=init_state, gcfg=gcfg,
-                         extractor=extractor)
+                         extractor=extractor, unravel=unravel,
+                         ravel=ravel_params)
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +335,12 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
     k_init, k_steps = jax.random.split(key)
     state = program.init_state(k_init)
     if init_params is not None:
-        state["params"] = init_params
+        # Accept either a param tree or an already-flat vector (video mode
+        # round-trips the flat state directly).
+        if getattr(init_params, "ndim", None) == 1:
+            state["params"] = init_params
+        else:
+            state["params"] = program.ravel(init_params)
 
     sched = Scheduler(cfg)
     logger = MetricsLogger(cfg.metrics_path

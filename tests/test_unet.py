@@ -177,3 +177,67 @@ class TestInit:
         assert abs(float(jnp.mean(p["scale"])) - 1.0) < 0.01
         assert abs(float(jnp.std(p["scale"])) - 0.02) < 0.005
         np.testing.assert_allclose(np.asarray(p["bias"]), 0.0)
+
+
+class TestChwLayout:
+    def test_chw_matches_nhwc(self):
+        """The CHW fast path must match the NHWC reference path."""
+        cfg = unet.SkipConfig()
+        params = unet.init_skip_params(jax.random.PRNGKey(3), cfg)
+        x = jnp.asarray(np.random.default_rng(5).random((2, 64, 96, 3)),
+                        jnp.float32)
+        a = unet.skip_apply(params, cfg, x)
+        b = unet.skip_apply_chw(params, cfg, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-2)
+
+    def test_chw_conv_matches_nhwc_conv(self):
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((1, 13, 17, 4)), jnp.float32)
+        p = {"kernel": jnp.asarray(rng.standard_normal((3, 3, 4, 6)),
+                                   jnp.float32) * 0.1,
+             "bias": jnp.asarray(rng.standard_normal(6), jnp.float32)}
+        for stride in (1, 2):
+            a = unet.conv2d(x, p, stride)
+            b = unet.conv2d_chw(jnp.transpose(x, (0, 3, 1, 2)), p, stride)
+            b = jnp.transpose(b, (0, 2, 3, 1))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4,
+                                       err_msg=f"stride {stride}")
+
+    def test_chw_conv_odd_size_stride2(self):
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((1, 15, 11, 3)), jnp.float32)
+        p = {"kernel": jnp.asarray(rng.standard_normal((3, 3, 3, 5)),
+                                   jnp.float32) * 0.1}
+        a = unet.conv2d(x, p, 2)
+        b = jnp.transpose(unet.conv2d_chw(
+            jnp.transpose(x, (0, 3, 1, 2)), p, 2), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
+
+    def test_chw_reflection_pad(self):
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((1, 9, 9, 2)), jnp.float32)
+        p = {"kernel": jnp.asarray(rng.standard_normal((5, 5, 2, 3)),
+                                   jnp.float32) * 0.1}
+        a = unet.conv2d(x, p, 1, pad="reflection")
+        b = jnp.transpose(unet.conv2d_chw(
+            jnp.transpose(x, (0, 3, 1, 2)), p, 1, pad="reflection"),
+            (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
+
+    def test_chw_grads_match(self):
+        cfg = unet.SkipConfig()
+        params = unet.init_skip_params(jax.random.PRNGKey(4), cfg)
+        x = jnp.asarray(np.random.default_rng(9).random((1, 32, 32, 3)),
+                        jnp.float32)
+
+        g1 = jax.grad(lambda p: jnp.sum(unet.skip_apply(p, cfg, x) ** 2))(
+            params)
+        g2 = jax.grad(
+            lambda p: jnp.sum(unet.skip_apply_chw(p, cfg, x) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=5e-2)
