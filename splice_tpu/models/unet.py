@@ -300,14 +300,25 @@ def batch_norm_chw(x: jax.Array, p: Dict[str, jax.Array],
 
 
 def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
-                   x_nhwc: jax.Array, compute_dtype=None) -> jax.Array:
+                   x_nhwc: jax.Array, compute_dtype=None,
+                   conv_impl: str = "pallas") -> jax.Array:
     """skip_apply computed internally in CHW; NHWC in/out, fp32 out.
+
+    conv_impl: "pallas" routes convs through the fused TPU kernel
+    (splice_tpu/ops/conv_pallas.py); "xla" uses the shifted-dot
+    formulation above.
 
     Supports the training path (downsample_mode='stride', zero/reflection
     pad); other downsamplers fall back to the NHWC path.
     """
     if cfg.downsample_mode != "stride":
         return skip_apply(params, cfg, x_nhwc, compute_dtype)
+    if conv_impl == "pallas" and jax.default_backend() != "cpu":
+        # On CPU the kernel would run in (slow) interpret mode; the XLA
+        # shifted-dot formulation is the right backend there.
+        from splice_tpu.ops.conv_pallas import pallas_conv_chw as conv_fn
+    else:
+        conv_fn = conv2d_chw
     x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -317,12 +328,12 @@ def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
         sp = params["scales"][i]
         branches = []
         if cfg.channels_skip[i]:
-            s = conv2d_chw(xin, sp["skip_conv"], 1, cfg.pad)
+            s = conv_fn(xin, sp["skip_conv"], 1, cfg.pad)
             s = act(batch_norm_chw(s, sp["skip_bn"]), cfg.act_fun)
             branches.append(s)
-        d = conv2d_chw(xin, sp["down_conv1"], 2, cfg.pad)
+        d = conv_fn(xin, sp["down_conv1"], 2, cfg.pad)
         d = act(batch_norm_chw(d, sp["down_bn1"]), cfg.act_fun)
-        d = conv2d_chw(d, sp["down_conv2"], 1, cfg.pad)
+        d = conv_fn(d, sp["down_conv2"], 1, cfg.pad)
         d = act(batch_norm_chw(d, sp["down_bn2"]), cfg.act_fun)
         inner = scale_fn(i + 1, d) if i < n - 1 else d
         b, c, h, w = inner.shape
@@ -337,16 +348,16 @@ def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
                       + tw] for t in branches]
         y = jnp.concatenate(branches, axis=1)
         y = batch_norm_chw(y, sp["post_bn"])
-        y = act(batch_norm_chw(conv2d_chw(y, sp["up_conv"], 1, cfg.pad),
+        y = act(batch_norm_chw(conv_fn(y, sp["up_conv"], 1, cfg.pad),
                                sp["up_bn"]), cfg.act_fun)
         if cfg.need1x1_up:
-            y = act(batch_norm_chw(conv2d_chw(y, sp["up1x1_conv"], 1,
-                                              cfg.pad), sp["up1x1_bn"]),
+            y = act(batch_norm_chw(conv_fn(y, sp["up1x1_conv"], 1,
+                                           cfg.pad), sp["up1x1_bn"]),
                     cfg.act_fun)
         return y
 
     y = scale_fn(0, x)
-    y = conv2d_chw(y, params["out_conv"], 1, cfg.pad).astype(jnp.float32)
+    y = conv_fn(y, params["out_conv"], 1, cfg.pad).astype(jnp.float32)
     if cfg.need_sigmoid:
         y = jax.nn.sigmoid(y)
     elif cfg.need_tanh:

@@ -1,0 +1,294 @@
+"""Pallas TPU kernel: small-channel 2-D convolution in CHW layout.
+
+Why: the splice generator's channel counts (3..128) are tiny next to the
+TPU's 128-lane registers. XLA's conv (NHWC) pads C to 128 lanes (up to 8x
+HBM traffic), and the XLA dot formulation of a CHW conv materializes a
+C-minor transpose around every tap's matmul (profiled: together ~70% of the
+train step). This kernel keeps a [Cin, rows, W] slab resident in VMEM —
+W fully occupying the lanes, no padding waste — and accumulates the k*k
+taps as channel-contraction matmuls on the MXU, reading x once and writing
+y once per tile.
+
+Tiling: the output is split into row bands of `ht` rows. Each band needs
+k-1 halo rows from the next band; Pallas blocks cannot overlap, so the halo
+rows are gathered into a small side tensor ([B, tiles, Cin, k-1, W]) in XLA
+and concatenated onto the band inside VMEM.
+
+Supports: stride 1, k x k kernels (k=2 serves the space-to-depth phase
+decomposition of stride-2 convs), fp32 accumulation, fused bias. Gradients
+via custom VJP: dx reuses this kernel with the rotated/io-swapped kernel;
+dw is a second Pallas kernel accumulating tap correlations across the grid.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rows_per_tile(cin: int, cout: int, k: int, wp: int,
+                   itemsize: int) -> int:
+    """Pick the H-tile so slab + accumulator fit comfortably in VMEM."""
+    budget = 2 * 1024 * 1024
+    lanes = ((wp + 127) // 128) * 128
+    per_row = (cin + cout) * lanes * itemsize + cout * lanes * 4
+    rows = max(budget // max(per_row, 1), 8)
+    rows = (rows // 8) * 8       # sublane-divisible tiles (Mosaic requires)
+    return int(max(8, min(rows, 256)))
+
+
+def _roll_left(xs, dx: int, wp: int):
+    """Lane-roll left by dx. Mosaic only rotates 32-bit data; bf16 packs
+    PAIRS ALONG SUBLANES into 32-bit words, so rolling the bitcast i32 view
+    along lanes is an exact bf16 lane roll (needs even sublane count)."""
+    if xs.dtype.itemsize == 4:
+        return pltpu.roll(xs, wp - dx, 2)
+    if xs.shape[1] % 2 == 0:
+        xi = pltpu.bitcast(xs, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(xi, wp - dx, 2), xs.dtype)
+    return pltpu.roll(xs.astype(jnp.float32), wp - dx, 2).astype(xs.dtype)
+
+
+def _halo(xp: jax.Array, ht: int, n_tiles: int, k: int) -> jax.Array:
+    """[B, n_tiles, Cin, k-1, Wp]: rows (i+1)*ht .. (i+1)*ht+k-2 per tile."""
+    B, cin, hp, wp = xp.shape
+    if k == 1:
+        # no halo needed; one dummy row to satisfy the (min 1) block shape
+        return jnp.zeros((B, n_tiles, cin, 1, wp), xp.dtype)
+    return jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(xp, (i + 1) * ht, k - 1, axis=2)
+         for i in range(n_tiles)], axis=1)
+
+
+def _conv_kernel(x_ref, halo_ref, w_ref, o_ref, acc_ref, *, k: int, ht: int):
+    """x_ref: [1, Cin, ht, Wp]; halo_ref: [1, 1, Cin, k-1, Wp];
+    w_ref: [k*k, Cin, Cout]; o_ref: [1, Cout, ht, Wp];
+    acc_ref: [Cout, ht*Wp] fp32."""
+    cin = x_ref.shape[1]
+    cout = o_ref.shape[1]
+    wp = x_ref.shape[3]
+    if k > 1:
+        slab = jnp.concatenate([x_ref[0], halo_ref[0, 0]], axis=1)
+    else:
+        slab = x_ref[0]                                # [Cin, ht+k-1, Wp]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for dy in range(k):
+        for dx in range(k):
+            xs = slab[:, dy:dy + ht, :]                # [Cin, ht, Wp]
+            if dx:
+                # left lane shift by dx (roll right by wp-dx); wrapped tail
+                # columns land beyond the valid output width and are sliced
+                # off by the caller.
+                xs = _roll_left(xs, dx, wp)
+            xs2 = xs.reshape(cin, ht * wp)
+            acc_ref[:] += jax.lax.dot_general(
+                w_ref[dy * k + dx], xs2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [Cout, ht*Wp]
+    o_ref[0] = acc_ref[:].reshape(cout, ht, wp).astype(o_ref.dtype)
+
+
+def _conv_fwd_impl(xp: jax.Array, w: jax.Array, k: int) -> jax.Array:
+    """xp: [B, Cin, Hp, Wp] pre-padded; w: [k, k, Cin, Cout].
+    Returns [B, Cout, Hp-k+1, Wp]; only the first Wp-k+1 columns are valid
+    (caller slices)."""
+    B, cin, hp, wp0 = xp.shape
+    cout = w.shape[-1]
+    ho = hp - k + 1
+    # Lane-align W: Mosaic's (ht, wp) -> (ht*wp) shape cast inside the
+    # kernel needs wp to be a multiple of 128. Padding columns are zeros
+    # and fall outside the valid output width.
+    wp = ((wp0 + 127) // 128) * 128
+    if wp > wp0:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, wp - wp0)))
+    ht = min(_rows_per_tile(cin, cout, k, wp, xp.dtype.itemsize), ho)
+    n_tiles = pl.cdiv(ho, ht)
+    hp_need = n_tiles * ht + k - 1
+    if hp_need > hp:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, hp_need - hp), (0, 0)))
+    halo = _halo(xp, ht, n_tiles, k)
+    wk = w.reshape(k * k, cin, cout)
+
+    kernel = functools.partial(_conv_kernel, k=k, ht=ht)
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, cout, n_tiles * ht, wp),
+                                       xp.dtype),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, cin, ht, wp), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin, max(k - 1, 1), wp),
+                         lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * k, cin, cout), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cout, ht, wp), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((cout, ht * wp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * k * k * cin * cout * ho * wp,
+            bytes_accessed=(B * cin * hp * wp + B * cout * ho * wp)
+            * xp.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp[:, :, :n_tiles * ht, :], halo, wk)
+    return out[:, :, :ho, :]
+
+
+def _dw_kernel(x_ref, halo_ref, g_ref, dw_ref, acc_ref, *, k: int, ht: int,
+               w_out: int):
+    """Accumulate dw[k*k, Cin, Cout] over grid tiles."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cin = x_ref.shape[1]
+    cout = g_ref.shape[1]
+    wp = x_ref.shape[3]
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if k > 1:
+        slab = jnp.concatenate([x_ref[0], halo_ref[0, 0]], axis=1)
+    else:
+        slab = x_ref[0]
+    # zero the invalid tail columns of g (cols >= w_out)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ht, wp), 1)
+    gmask = (col < w_out).astype(g_ref.dtype)
+    g2 = (g_ref[0] * gmask[None]).reshape(cout, ht * wp)
+    for dy in range(k):
+        for dx in range(k):
+            xs = slab[:, dy:dy + ht, :]
+            if dx:
+                xs = _roll_left(xs, dx, wp)
+            xs2 = xs.reshape(cin, ht * wp)
+            acc_ref[dy * k + dx] += jax.lax.dot_general(
+                xs2, g2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [Cin, Cout]
+    last = jnp.logical_and(b == pl.num_programs(0) - 1,
+                           i == pl.num_programs(1) - 1)
+
+    @pl.when(last)
+    def _():
+        dw_ref[:] = acc_ref[:].astype(dw_ref.dtype)
+
+
+def _dw_impl(xp: jax.Array, g: jax.Array, k: int) -> jax.Array:
+    """dw for the VALID conv on pre-padded xp. g: [B, Cout, Ho, Wo];
+    returns [k, k, Cin, Cout] fp32."""
+    B, cin, hp, wp0 = xp.shape
+    cout = g.shape[1]
+    ho = hp - k + 1
+    wp = ((wp0 + 127) // 128) * 128
+    if wp > wp0:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, wp - wp0)))
+    ht = min(_rows_per_tile(cin, cout, k, wp, xp.dtype.itemsize), ho)
+    n_tiles = pl.cdiv(ho, ht)
+    hp_need = n_tiles * ht + k - 1
+    if hp_need > hp:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, hp_need - hp), (0, 0)))
+    halo = _halo(xp, ht, n_tiles, k)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, n_tiles * ht - g.shape[2]),
+                     (0, wp - g.shape[3])))
+    kernel = functools.partial(_dw_kernel, k=k, ht=ht, w_out=wp0 - k + 1)
+    interpret = jax.default_backend() == "cpu"
+    dw = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k * k, cin, cout), jnp.float32),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, cin, ht, wp), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cin, max(k - 1, 1), wp),
+                         lambda b, i: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, ht, wp), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k * k, cin, cout), lambda b, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((k * k, cin, cout), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp[:, :, :n_tiles * ht, :], halo, gp)
+    return dw.reshape(k, k, cin, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv_valid_chw(xp: jax.Array, w: jax.Array, k: int) -> jax.Array:
+    """VALID k x k stride-1 conv on pre-padded CHW input via the Pallas
+    kernel. xp: [B, Cin, Hp, Wp]; w: [k, k, Cin, Cout] ->
+    [B, Cout, Hp-k+1, Wp-k+1]."""
+    out = _conv_fwd_impl(xp, w.astype(xp.dtype), k)
+    return out[:, :, :, :xp.shape[3] - k + 1]
+
+
+def _conv_fwd(xp, w, k):
+    return conv_valid_chw(xp, w, k), (xp, w)
+
+
+def _conv_bwd(k, res, g):
+    xp, w = res
+    B, cin, hp, wp = xp.shape
+    # dx: full correlation of g with the flipped, io-swapped kernel.
+    w_flip = jnp.flip(jnp.flip(w, 0), 1).transpose(0, 1, 3, 2)  # [k,k,Co,Ci]
+    gp = jnp.pad(g, ((0, 0), (0, 0), (k - 1, k - 1), (k - 1, k - 1)))
+    dx = _conv_fwd_impl(gp.astype(xp.dtype), w_flip.astype(xp.dtype), k)
+    dx = dx[:, :, :hp, :wp]
+    # dw: tap correlations, accumulated in the Pallas reduction kernel.
+    dw = _dw_impl(xp, g.astype(xp.dtype), k).astype(w.dtype)
+    return dx.astype(xp.dtype), dw
+
+
+conv_valid_chw.defvjp(_conv_fwd, _conv_bwd)
+
+
+def pallas_conv_chw(x: jax.Array, p: dict, stride: int = 1,
+                    pad: str = "zero") -> jax.Array:
+    """Drop-in replacement for unet.conv2d_chw using the Pallas kernel.
+
+    x: [B, Cin, H, W]; p["kernel"]: [kh, kw, Cin, Cout] (torch (k-1)//2
+    padding semantics). stride 2 uses the exact space-to-depth phase
+    decomposition: each phase sees a ceil(k/2)-sized sub-kernel at stride 1.
+    """
+    w = p["kernel"]
+    k, _, cin, cout = w.shape
+    to_pad = (k - 1) // 2
+    if to_pad > 0:
+        mode = "reflect" if pad == "reflection" else "constant"
+        x = jnp.pad(x, ((0, 0), (0, 0), (to_pad, to_pad), (to_pad, to_pad)),
+                    mode=mode)
+    if stride == 1:
+        out = conv_valid_chw(x, w, k)
+    elif stride == 2:
+        B, _, hp, wp = x.shape
+        ho = (hp - k) // 2 + 1
+        wo = (wp - k) // 2 + 1
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, hp % 2 + 2), (0, wp % 2 + 2)))
+        k2 = (k + 1) // 2          # per-phase sub-kernel size
+        out = None
+        for py in range(2):
+            for px in range(2):
+                wk = jnp.zeros((k2, k2, cin, cout), w.dtype)
+                for dy in range(py, k, 2):
+                    for dx in range(px, k, 2):
+                        wk = wk.at[dy // 2, dx // 2].set(w[dy, dx])
+                ph = x[:, :, py::2, px::2]
+                t = conv_valid_chw(ph, wk, k2)[:, :, :ho, :wo]
+                out = t if out is None else out + t
+    else:
+        raise NotImplementedError(stride)
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)[:, None, None]
+    return out

@@ -59,8 +59,11 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
     nA, nB = cfg.global_A_crops_n_crops, cfg.global_B_crops_n_crops
     tx = make_optimizer(cfg)
     gdt = jnp.bfloat16 if cfg.generator_compute_dtype == "bfloat16" else None
-    g_apply = unet.skip_apply_chw if cfg.generator_layout == "chw" \
-        else unet.skip_apply
+    if cfg.generator_layout == "chw":
+        g_apply = functools.partial(unet.skip_apply_chw,
+                                    conv_impl=cfg.generator_conv)
+    else:
+        g_apply = unet.skip_apply
     extractor = dataclasses.replace(
         extractor, tp_axis="tp" if mesh.shape["tp"] > 1 else None)
 

@@ -144,8 +144,11 @@ def build_program(cfg: Config, pair: ImagePair,
     SA, SB = pair.canvas_A, pair.canvas_B
     tx = make_optimizer(cfg)
     gdt = jnp.bfloat16 if cfg.generator_compute_dtype == "bfloat16" else None
-    g_apply = unet.skip_apply_chw if cfg.generator_layout == "chw" \
-        else unet.skip_apply
+    if cfg.generator_layout == "chw":
+        g_apply = functools.partial(unet.skip_apply_chw,
+                                    conv_impl=cfg.generator_conv)
+    else:
+        g_apply = unet.skip_apply
 
     def transform(x):
         """Loss-side preprocessing (reference losses.py:17-24)."""

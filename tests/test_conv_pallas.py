@@ -1,0 +1,112 @@
+"""Pallas CHW conv kernel vs the XLA conv: forward and gradients,
+strides 1 and 2, odd sizes, reflection padding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splice_tpu.models import unet
+from splice_tpu.ops import conv_pallas as cp
+
+
+def _params(rng, k, cin, cout, bias=True):
+    p = {"kernel": jnp.asarray(
+        rng.standard_normal((k, k, cin, cout)), jnp.float32) * 0.1}
+    if bias:
+        p["bias"] = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+    return p
+
+
+class TestForward:
+    @pytest.mark.parametrize("k,stride,hw", [
+        (3, 1, (20, 24)), (3, 2, (20, 24)), (1, 1, (16, 16)),
+        (3, 2, (15, 11)), (5, 1, (17, 13)), (7, 1, (17, 19)),
+        (7, 2, (18, 22)),
+    ])
+    def test_matches_xla_conv(self, k, stride, hw):
+        rng = np.random.default_rng(k * 100 + stride)
+        cin, cout = 4, 6
+        x_nhwc = jnp.asarray(rng.standard_normal((2, *hw, cin)), jnp.float32)
+        p = _params(rng, k, cin, cout)
+        ref = unet.conv2d(x_nhwc, p, stride)
+        out = cp.pallas_conv_chw(jnp.transpose(x_nhwc, (0, 3, 1, 2)), p,
+                                 stride)
+        out = jnp.transpose(out, (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_reflection_padding(self):
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((1, 12, 14, 3)), jnp.float32)
+        p = _params(rng, 5, 3, 4, bias=False)
+        ref = unet.conv2d(x, p, 1, pad="reflection")
+        out = jnp.transpose(cp.pallas_conv_chw(
+            jnp.transpose(x, (0, 3, 1, 2)), p, 1, pad="reflection"),
+            (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_multi_tile_rows(self):
+        """Force several row tiles (halo path) with a tall input."""
+        rng = np.random.default_rng(10)
+        cin, cout = 3, 5
+        x = jnp.asarray(rng.standard_normal((1, 700, 16, cin)), jnp.float32)
+        p = _params(rng, 3, cin, cout)
+        ref = unet.conv2d(x, p, 1)
+        # shrink tiles to force the halo machinery
+        orig = cp._rows_per_tile
+        cp._rows_per_tile = lambda *a: 64
+        try:
+            out = jnp.transpose(cp.pallas_conv_chw(
+                jnp.transpose(x, (0, 3, 1, 2)), p, 1), (0, 2, 3, 1))
+        finally:
+            cp._rows_per_tile = orig
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+class TestGradients:
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_grads_match_xla(self, stride):
+        rng = np.random.default_rng(20 + stride)
+        cin, cout = 3, 4
+        x = jnp.asarray(rng.standard_normal((1, 18, 22, cin)), jnp.float32)
+        p = _params(rng, 3, cin, cout)
+        xc = jnp.transpose(x, (0, 3, 1, 2))
+
+        def loss_ref(p, x):
+            return jnp.sum(unet.conv2d(x, p, stride) ** 2)
+
+        def loss_pal(p, xc):
+            return jnp.sum(cp.pallas_conv_chw(xc, p, stride) ** 2)
+
+        gp_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+        gp_pal, gx_pal = jax.grad(loss_pal, argnums=(0, 1))(p, xc)
+        np.testing.assert_allclose(np.asarray(gp_pal["kernel"]),
+                                   np.asarray(gp_ref["kernel"]),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gp_pal["bias"]),
+                                   np.asarray(gp_ref["bias"]),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(gx_pal, (0, 2, 3, 1))),
+            np.asarray(gx_ref), atol=1e-3, rtol=1e-3)
+
+    def test_grads_multi_tile(self):
+        rng = np.random.default_rng(30)
+        x = jnp.asarray(rng.standard_normal((2, 3, 300, 16)), jnp.float32)
+        p = _params(rng, 3, 3, 4, bias=False)
+        orig = cp._rows_per_tile
+        cp._rows_per_tile = lambda *a: 32
+        try:
+            g = jax.grad(lambda p, x: jnp.sum(
+                cp.pallas_conv_chw(x, p, 1) ** 2), argnums=(0, 1))(p, x)
+        finally:
+            cp._rows_per_tile = orig
+        # compare vs xla path on same data
+        x_nhwc = jnp.transpose(x, (0, 2, 3, 1))
+        g_ref = jax.grad(lambda p, x: jnp.sum(
+            unet.conv2d(x, p, 1) ** 2), argnums=(0, 1))(p, x_nhwc)
+        np.testing.assert_allclose(np.asarray(g[0]["kernel"]),
+                                   np.asarray(g_ref[0]["kernel"]),
+                                   atol=2e-2, rtol=2e-3)
