@@ -337,6 +337,7 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
     key = jax.random.PRNGKey(seed)
     k_init, k_steps = jax.random.split(key)
     state = program.init_state(k_init)
+    start_epoch = 1
     if init_params is not None:
         # Accept either a param tree or an already-flat vector (video mode
         # round-trips the flat state directly).
@@ -344,6 +345,17 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
             state["params"] = init_params
         else:
             state["params"] = program.ravel(init_params)
+    elif cfg.resume_from:
+        # Crash recovery / continuation (new capability: the reference
+        # loses the whole run on a crash, SURVEY.md §5).
+        from splice_tpu.utils.checkpoint import Checkpointer
+        rck = Checkpointer(cfg.resume_from)
+        step0 = rck.latest_step()
+        if step0 is not None:
+            state = rck.restore(step0, template=jax.tree.map(np.asarray,
+                                                             state))
+            start_epoch = step0 + 1
+            print(f"resumed from {cfg.resume_from} at step {step0}")
 
     sched = Scheduler(cfg)
     logger = MetricsLogger(cfg.metrics_path
@@ -387,7 +399,7 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
         return min(c for c in cands if c > i)
 
     t_start = time.perf_counter()
-    step_idx = 0
+    step_idx = start_epoch - 1
     while step_idx < total_steps:
         lam = lambdas_vec(cfg, step_idx)
         lr = sched.lr_for_step(step_idx)

@@ -1,0 +1,136 @@
+"""Smoke tests for the tools (C13/C14 parity) and video/Model wrappers."""
+import os
+import pathlib
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splice_tpu.models import vit as vit_lib
+
+
+@pytest.fixture(scope="module", autouse=True)
+def tiny_model():
+    """Register a tiny ViT so tools run fast on CPU."""
+    vit_lib.VIT_CONFIGS["_tool_tiny"] = vit_lib.VitConfig(
+        patch_size=8, embed_dim=64, depth=2, num_heads=4, img_size=32)
+    yield
+    del vit_lib.VIT_CONFIGS["_tool_tiny"]
+
+
+class TestPcaTool:
+    def test_visualize_produces_png(self, tmp_path):
+        from splice_tpu.tools.keys_self_sim_pca import visualize
+        out = visualize("datasets/feature_visualization/limes.jpeg",
+                        str(tmp_path / "pca.png"), layer=1,
+                        dino_model_name="_tool_tiny", resize=48)
+        from PIL import Image
+        img = Image.open(out)
+        # patch grid upsampled x8
+        assert img.size[1] == (48 // 8) * 8
+        assert img.mode == "RGB"
+
+    def test_pca_projection_orthogonal_components(self):
+        from splice_tpu.tools.keys_self_sim_pca import pca_project
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((50, 10)).astype(np.float32)
+        proj = pca_project(x, 3)
+        assert proj.shape == (50, 3)
+        # components are decorrelated
+        cov = np.cov(proj.T)
+        off = cov - np.diag(np.diag(cov))
+        assert np.abs(off).max() < 1e-3 * np.abs(np.diag(cov)).max()
+
+
+class TestInversionTool:
+    def test_invert_cls_loss_decreases(self, tmp_path):
+        from splice_tpu.tools.inversion import invert
+        losses = []
+        res = invert("datasets/feature_visualization/limes.jpeg",
+                     str(tmp_path / "inv.png"), feature="cls", layer=1,
+                     dino_model_name="_tool_tiny", n_iter=10,
+                     noise_stage_1=3, noise_stage_2=6, log_freq=4,
+                     resize=48, input_depth=8,
+                     callback=lambda i, l, out: losses.append(l))
+        assert (tmp_path / "inv.png").exists()
+        assert np.isfinite(res["loss"])
+
+    def test_invert_keys_runs(self, tmp_path):
+        from splice_tpu.tools.inversion import invert
+        res = invert("datasets/feature_visualization/limes.jpeg",
+                     str(tmp_path / "invk.png"), feature="keys", layer=0,
+                     dino_model_name="_tool_tiny", n_iter=4, log_freq=2,
+                     resize=48, input_depth=8)
+        assert np.isfinite(res["loss"])
+
+
+class TestModelWrapper:
+    def test_reference_forward_surface(self):
+        from splice_tpu.config import Config
+        from splice_tpu.models.model import Model
+        cfg = Config()
+        m = Model(cfg, key=jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        inputs = {
+            "step": 0,
+            "A": jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32),
+            "A_global": jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32),
+            "B_global": jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32),
+        }
+        out = m(inputs)
+        assert set(out) == {"x_global", "x_entire", "y_global"}
+        assert out["x_entire"].shape == (1, 64, 64, 3)
+        inputs["step"] = 1
+        out = m(inputs)
+        assert "x_entire" not in out
+
+
+class TestVideoMode:
+    def test_two_frame_warm_start(self, tmp_path):
+        from splice_tpu.config import load_config
+        from splice_tpu.video import train_video
+        src = pathlib.Path("datasets/splicing/cows")
+        root = tmp_path / "vid"
+        (root / "A").mkdir(parents=True)
+        (root / "B").mkdir()
+        a_img = src / "A" / os.listdir(src / "A")[0]
+        shutil.copy(a_img, root / "A" / "frame_000.jpg")
+        shutil.copy(a_img, root / "A" / "frame_001.jpg")
+        shutil.copy(src / "B" / os.listdir(src / "B")[0], root / "B")
+        cfg = load_config(None, dict(
+            dataroot=str(root), A_resize=48, B_resize=48, seed=5,
+            n_epochs=4, entire_A_every=100, log_images_freq=2,
+            vit_compute_dtype="float32", use_pallas_attention=False,
+            dino_model_name="dino_vits8", dino_global_patch_size=32,
+            dino_global_max_size=64))
+        res = train_video(cfg, first_frame_steps=4, warm_frame_steps=2)
+        assert len(res["frames"]) == 2
+        assert (root / "out" / "frame_000_out.png").exists()
+        assert (root / "out" / "frame_001_out.png").exists()
+
+
+class TestResume:
+    def test_checkpoint_resume_continues(self, tmp_path):
+        from splice_tpu.config import load_config
+        from splice_tpu import trainer
+        src = pathlib.Path("datasets/splicing/cows")
+        root = tmp_path / "pair"
+        shutil.copytree(src / "A", root / "A")
+        shutil.copytree(src / "B", root / "B")
+        ckdir = str(tmp_path / "ck")
+        base = dict(
+            dataroot=str(root), A_resize=48, B_resize=48, seed=9,
+            n_epochs=4, entire_A_every=100, log_images_freq=2,
+            vit_compute_dtype="float32", use_pallas_attention=False,
+            dino_model_name="dino_vits8", dino_global_patch_size=32,
+            dino_global_max_size=64, checkpoint_every=2,
+            checkpoint_dir=ckdir)
+        cfg = load_config(None, base)
+        trainer.train_pair(cfg, n_steps=2)
+        cfg2 = load_config(None, {**base, "resume_from": ckdir,
+                                  "checkpoint_every": 0,
+                                  "checkpoint_dir": None})
+        res = trainer.train_pair(cfg2, n_steps=4)
+        assert np.isfinite(res["losses"]["loss"])

@@ -27,6 +27,18 @@ def main():
     if cfg.video_mode:
         from splice_tpu.video import train_video
         train_video(cfg)
+    elif "," in cfg.dataroot:
+        # Multi-pair scale-out: comma-separated dataroots optimize
+        # concurrently in one compiled step, sharded over the dp mesh axis.
+        from splice_tpu.parallel.pair_parallel import train_pairs
+        roots = [r.strip() for r in cfg.dataroot.split(",") if r.strip()]
+        res = train_pairs(cfg, roots)
+        from splice_tpu.utils.io import save_image
+        import numpy as np
+        for root, out in zip(roots, np.asarray(res["outputs"])):
+            save_image(out, f"{root}/out/output.png")
+        print(f"{res['pair_steps_per_sec']:.2f} pair-steps/s over "
+              f"{len(roots)} pairs")
     else:
         trainer.train_pair(cfg)
 
