@@ -264,13 +264,16 @@ def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
         x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp % 2 + 1), (0, Wp % 2 + 1)))
         phases = [[x[:, :, py::2, px::2] for px in range(2)]
                   for py in range(2)]
+        # tap accumulation in the input dtype: each dot still accumulates
+        # its own contraction in fp32 on the MXU, and bf16 intermediates
+        # halve the HBM traffic of the k*k-term sum.
         out = None
         for dy in range(kh):
             for dx in range(kw):
                 ph = phases[dy % 2][dx % 2]
                 sl = ph[:, :, dy // 2:dy // 2 + Ho, dx // 2:dx // 2 + Wo]
                 t = jnp.einsum("io,bihw->bohw", w[dy, dx].astype(x.dtype),
-                               sl, preferred_element_type=jnp.float32)
+                               sl)
                 out = t if out is None else out + t
     else:
         Ho, Wo = x.shape[2] - kh + 1, x.shape[3] - kw + 1
@@ -279,7 +282,7 @@ def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
             for dx in range(kw):
                 sl = x[:, :, dy:dy + Ho, dx:dx + Wo]
                 t = jnp.einsum("io,bihw->bohw", w[dy, dx].astype(x.dtype),
-                               sl, preferred_element_type=jnp.float32)
+                               sl)
                 out = t if out is None else out + t
     out = out.astype(x.dtype)
     if "bias" in p:
