@@ -261,8 +261,16 @@ def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
         Hp, Wp = x.shape[2], x.shape[3]
         Ho = (Hp - kh) // 2 + 1
         Wo = (Wp - kw) // 2 + 1
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp % 2 + 1), (0, Wp % 2 + 1)))
-        phases = [[x[:, :, py::2, px::2] for px in range(2)]
+        # Phase extraction via even-pad + reshape, NOT x[:, :, py::2, px::2]:
+        # stride-2 slices on the lane (W) dimension lower to XLA gathers
+        # (and scatter-adds in the backward) that cost ~2.5 ms each at
+        # 896px — ~20 ms/step of pure data movement. The reshape form is
+        # numerically identical and lowers to cheap relayout copies.
+        # Padding to even H/W always leaves each phase with the
+        # (kh-1)//2 + Ho rows the deepest tap shift needs.
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp % 2), (0, Wp % 2)))
+        xr = x.reshape(B, C, x.shape[2] // 2, 2, x.shape[3] // 2, 2)
+        phases = [[xr[:, :, :, py, :, px] for px in range(2)]
                   for py in range(2)]
         # tap accumulation in the input dtype: each dot still accumulates
         # its own contraction in fp32 on the MXU, and bf16 intermediates
