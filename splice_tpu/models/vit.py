@@ -325,7 +325,13 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
     out: Dict[str, Dict[int, jax.Array]] = {k: {} for k in taps}
     block_fn = _block
     if remat:
-        block_fn = jax.checkpoint(_block, static_argnums=(2, 3, 4, 5))
+        # Save matmul outputs, recompute only cheap elementwise/layernorm:
+        # full remat re-runs every block matmul in the backward (~25% of
+        # ViT time); dots-saveable keeps the FLOP-heavy results while still
+        # dropping the big intermediate activations.
+        block_fn = jax.checkpoint(
+            _block, static_argnums=(2, 3, 4, 5),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     # Layers before the first tap are identical untapped blocks: run them as
     # ONE lax.scan over stacked params instead of unrolling. This cuts the
