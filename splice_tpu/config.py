@@ -75,11 +75,11 @@ class Config:
     # these tiny channel counts (lane padding waste). "nhwc" is the
     # torch-layout reference path used by the parity tests.
     generator_layout: str = "chw"
-    # Conv implementation for the CHW generator: "xla" (default) = shifted
-    # channel-contraction dots; "pallas" = the fused TPU kernel in
-    # ops/conv_pallas.py (correct and tested, but its v1 tiling currently
-    # trails the XLA formulation end-to-end — kept for further tuning).
-    generator_conv: str = "xla"
+    # Conv implementation for the CHW generator: "auto" (default) picks per
+    # conv site between the XLA shifted-dot formulation and the fused Pallas
+    # TPU kernel (ops/conv_pallas.py) from v5e measurements; "xla"/"pallas"
+    # force one impl everywhere (CPU always uses the XLA formulation).
+    generator_conv: str = "auto"
     # Use the Pallas fused-attention kernel inside the ViT (fallback: XLA).
     use_pallas_attention: bool = True
     # Static crop canvas. The reference samples a fresh crop size every step
@@ -127,7 +127,7 @@ class Config:
         assert self.vit_compute_dtype in ("bfloat16", "float32")
         assert self.generator_compute_dtype in ("bfloat16", "float32")
         assert self.generator_layout in ("chw", "nhwc")
-        assert self.generator_conv in ("pallas", "xla")
+        assert self.generator_conv in ("pallas", "xla", "auto")
         assert self.global_A_crops_n_crops >= 1 and self.global_B_crops_n_crops >= 1
         assert 0.0 < self.global_A_crops_min_cover <= 1.0
         assert 0.0 < self.global_B_crops_min_cover <= 1.0

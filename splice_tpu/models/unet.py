@@ -324,10 +324,27 @@ def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
     """
     if cfg.downsample_mode != "stride":
         return skip_apply(params, cfg, x_nhwc, compute_dtype)
-    if conv_impl == "pallas" and jax.default_backend() != "cpu":
+    if conv_impl in ("pallas", "auto") and jax.default_backend() != "cpu":
         # On CPU the kernel would run in (slow) interpret mode; the XLA
         # shifted-dot formulation is the right backend there.
-        from splice_tpu.ops.conv_pallas import pallas_conv_chw as conv_fn
+        from splice_tpu.ops.conv_pallas import pallas_conv_chw
+        if conv_impl == "pallas":
+            conv_fn = pallas_conv_chw
+        else:
+            def conv_fn(x, p, stride=1, pad="zero"):
+                """Per-site dispatch, v5e-measured (f+b, batch 2).
+
+                Stride-2 always goes to the reshape-phase dots (the Pallas
+                space-to-depth path re-slices with stride 2 — gathers).
+                Stride-1 k>=3: the Pallas slab kernel wins where the XLA
+                dots re-read a big input 9x (large HW) or launch tiny
+                dots (HW<=32); the mid sizes fuse well in XLA. 1x1: Pallas
+                wins once the channel contraction is non-trivial."""
+                kh = p["kernel"].shape[0]
+                cin, hw = x.shape[1], x.shape[3]
+                if stride == 1 and kh >= 3 and hw >= 448 and cin > 16:
+                    return pallas_conv_chw(x, p, stride, pad)
+                return conv2d_chw(x, p, stride, pad)
     else:
         conv_fn = conv2d_chw
     x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
