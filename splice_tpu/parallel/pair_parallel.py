@@ -44,6 +44,7 @@ class MultiPairProgram:
     init_states: Callable
     mesh: Mesh
     gcfg: unet.SkipConfig
+    step_chunk: Callable = None   # n regular steps per dispatch (lax.scan)
 
 
 def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
@@ -66,6 +67,14 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
         g_apply = unet.skip_apply
     extractor = dataclasses.replace(
         extractor, tp_axis="tp" if mesh.shape["tp"] > 1 else None)
+    # Mosaic (Pallas) kernels cannot sit in an auto-partitioned region.
+    # With tp == 1 the whole step can be manual on both axes, so the Pallas
+    # attention kernel is usable; with tp > 1 the ViT matmuls rely on
+    # GSPMD auto-sharding (Megatron constraints), so attention falls back
+    # to the XLA path, which partitions cleanly over heads.
+    manual_axes = {"dp", "tp"} if mesh.shape["tp"] == 1 else {"dp"}
+    if mesh.shape["tp"] > 1:
+        extractor = dataclasses.replace(extractor, use_pallas=False)
 
     def transform(x):
         y = img_ops.dino_global_resize(
@@ -142,17 +151,42 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
             functools.partial(local_step, entire=entire), mesh=mesh,
             in_specs=(P("dp"), P(), P("dp"), P("dp"), P(), P(), P()),
             out_specs=(P("dp"), P("dp")),
-            axis_names={"dp"}, check_vma=False)
+            axis_names=manual_axes, check_vma=False)
         jitted = jax.jit(fn, donate_argnums=(0,))
         return lambda states, As, Bs, i, k, lam: \
             jitted(states, vparams, As, Bs, i, k, lam)
+
+    # Chunked regular stepping: one dispatch per n steps (lax.scan), same
+    # trick as the single-pair trainer — per-step dispatch latency through
+    # the host/tunnel otherwise dwarfs the device step at these sizes.
+    def local_chunk(states, vit_params, As, Bs, start_idx, base_key, lam,
+                    n: int):
+        def body(st, i):
+            return local_step(st, vit_params, As, Bs, start_idx + i,
+                              base_key, lam, entire=False)
+
+        states, parts_seq = jax.lax.scan(body, states, jnp.arange(n))
+        return states, jax.tree.map(lambda x: x[-1], parts_seq)
+
+    _jit_chunks: Dict[int, Callable] = {}
+
+    def step_chunk(states, As, Bs, start_idx, base_key, lam, n: int):
+        if n not in _jit_chunks:
+            fn = jax.shard_map(
+                functools.partial(local_chunk, n=n), mesh=mesh,
+                in_specs=(P("dp"), P(), P("dp"), P("dp"), P(), P(), P()),
+                out_specs=(P("dp"), P("dp")),
+                axis_names=manual_axes, check_vma=False)
+            _jit_chunks[n] = jax.jit(fn, donate_argnums=(0,))
+        return _jit_chunks[n](states, vparams, As, Bs, start_idx, base_key,
+                              lam)
 
     render_local = jax.shard_map(
         lambda ps, As: jnp.clip(
             jax.vmap(lambda p, a: unet.skip_apply(p, gcfg, a[None])[0]
                      )(ps, As), 0.0, 1.0),
         mesh=mesh, in_specs=(P("dp"), P("dp")), out_specs=P("dp"),
-        axis_names={"dp"}, check_vma=False)
+        axis_names=manual_axes, check_vma=False)
     render = jax.jit(render_local)
 
     dp_shard = mesh_lib.dp_sharding(mesh)
@@ -167,7 +201,8 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
 
     return MultiPairProgram(step_regular=jit_step(False),
                             step_entire=jit_step(True), render=render,
-                            init_states=init_states, mesh=mesh, gcfg=gcfg)
+                            init_states=init_states, mesh=mesh, gcfg=gcfg,
+                            step_chunk=step_chunk)
 
 
 def load_pair_batch(cfg: Config, dataroots: Sequence[str],
@@ -231,15 +266,28 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
     import time
     t0 = time.perf_counter()
     parts = None
+    entire_on = cfg.lambda_entire_ssim > 0 or cfg.lambda_entire_cls > 0
     with jax.set_mesh(mesh):
-        for epoch in range(1, total + 1):
-            step_idx = epoch - 1
+        step_idx = 0
+        while step_idx < total:
             lam = jnp.asarray(trainer.lambdas_vec(cfg, step_idx))
-            fn = program.step_entire \
-                if losses_lib.is_entire_step(cfg, step_idx) \
-                else program.step_regular
-            states, parts = fn(states, As, Bs, jnp.int32(step_idx), k_steps,
-                               lam)
+            if losses_lib.is_entire_step(cfg, step_idx):
+                states, parts = program.step_entire(
+                    states, As, Bs, jnp.int32(step_idx), k_steps, lam)
+                step_idx += 1
+                continue
+            # Regular steps ride one lax.scan dispatch up to the next
+            # lambda boundary (entire-A step or cls_warmup switch).
+            end = total
+            if entire_on:
+                end = min(end, ((step_idx // cfg.entire_A_every) + 1)
+                          * cfg.entire_A_every)
+            if step_idx < cfg.cls_warmup:
+                end = min(end, cfg.cls_warmup)
+            n = end - step_idx
+            states, parts = program.step_chunk(
+                states, As, Bs, jnp.int32(step_idx), k_steps, lam, n)
+            step_idx += n
         outs = program.render(states["params"], As)
         outs.block_until_ready()
     wall = time.perf_counter() - t0

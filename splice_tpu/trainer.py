@@ -322,9 +322,12 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
                extractor: Optional[ext_lib.VitExtractor] = None,
                init_params: Optional[Dict[str, Any]] = None,
                n_steps: Optional[int] = None,
-               dataroot: Optional[str] = None) -> Dict[str, Any]:
+               dataroot: Optional[str] = None,
+               program: Optional[SpliceProgram] = None) -> Dict[str, Any]:
     """Optimize one pair; returns {'state', 'losses', 'steps_per_sec',
-    'output'}. `init_params` warm-starts the generator (video mode)."""
+    'output'}. `init_params` warm-starts the generator (video mode);
+    passing `program` reuses an already-built/compiled step (video mode
+    runs many same-shape frames — rebuilding per frame re-jits)."""
     seed = resolve_seed(cfg)
     print(f"running with seed: {seed}.")
     root = dataroot or cfg.dataroot
@@ -332,7 +335,8 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
         pair = load_pair(cfg, root)
     if extractor is None:
         extractor = make_extractor_from_config(cfg)
-    program = build_program(cfg, pair, extractor)
+    if program is None:
+        program = build_program(cfg, pair, extractor)
 
     key = jax.random.PRNGKey(seed)
     k_init, k_steps = jax.random.split(key)

@@ -37,10 +37,18 @@ def train_video(cfg: Config,
     out_dir = os.path.join(cfg.dataroot, "out")
     params = None
     stats = []
+    program = None
     for idx, (name, pair) in enumerate(load_video_frames(cfg)):
         steps = first_steps if idx == 0 else warm_steps
+        if program is None or program_shapes != (pair.A.shape,
+                                                 pair.B.shape):
+            # Frames share one geometry; build (and jit-compile) the step
+            # once and reuse it for every subsequent frame.
+            program = trainer.build_program(cfg, pair, extractor)
+            program_shapes = (pair.A.shape, pair.B.shape)
         res = trainer.train_pair(cfg, pair=pair, extractor=extractor,
-                                 init_params=params, n_steps=steps)
+                                 init_params=params, n_steps=steps,
+                                 program=program)
         params = res["state"]["params"]
         stem = os.path.splitext(name)[0]
         save_image(np.asarray(res["output"]),

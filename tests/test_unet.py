@@ -191,6 +191,18 @@ class TestChwLayout:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
                                    rtol=1e-2)
 
+    def test_chw_auto_dispatch_matches_nhwc(self):
+        """conv_impl='auto' (per-site XLA/Pallas dispatch on TPU, XLA dots
+        on CPU) must agree with the NHWC reference path."""
+        cfg = unet.SkipConfig()
+        params = unet.init_skip_params(jax.random.PRNGKey(3), cfg)
+        x = jnp.asarray(np.random.default_rng(11).random((2, 64, 96, 3)),
+                        jnp.float32)
+        a = unet.skip_apply(params, cfg, x)
+        b = unet.skip_apply_chw(params, cfg, x, conv_impl="auto")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-2)
+
     def test_chw_conv_matches_nhwc_conv(self):
         rng = np.random.default_rng(6)
         x = jnp.asarray(rng.standard_normal((1, 13, 17, 4)), jnp.float32)
