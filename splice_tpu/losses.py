@@ -223,6 +223,13 @@ class LossG:
         self.cfg = cfg
         self.extractor = extractor
         self.ssim_layer = extractor.cfg.depth - 1
+        self.lambdas = lambdas_for_step(cfg, 0)
+
+    def update_lambda_config(self, step: int) -> None:
+        """API parity with the reference's stateful schedule update
+        (reference losses.py:34-44); __call__ recomputes from the step
+        anyway, so this only refreshes the inspectable `lambdas` dict."""
+        self.lambdas = lambdas_for_step(self.cfg, step)
 
     def _transform(self, x):
         y = img_ops.dino_global_resize(

@@ -32,6 +32,17 @@ def _write_png(arr_u8: np.ndarray, path: str) -> None:
     Image.fromarray(arr_u8).save(path)
 
 
+def tensor2im(image_01) -> np.ndarray:
+    """Clamp-[0,1] float image -> uint8 HWC (reference util/util.py:42-52).
+
+    Accepts [H,W,3] or a leading batch dim [1,H,W,3] (the reference takes
+    torch CHW and squeezes; here the native layout is already HWC)."""
+    arr = np.asarray(image_01)
+    if arr.ndim == 4:
+        arr = arr[0]
+    return _to_uint8(arr)
+
+
 def save_image(image_hwc01, path: str) -> str:
     pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
     _write_png(_to_uint8(image_hwc01), path)
