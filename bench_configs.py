@@ -64,7 +64,8 @@ def _steady_rate(cfg, n_chunks: int = 4, chunk: int = 10) -> float:
 def config_a(quick: bool) -> dict:
     cfg = load_config(None, dict(dataroot=COWS, seed=3, remat_vit=True))
     return {"config": "a_default_224", "steps_per_sec":
-            round(_steady_rate(cfg), 3), "unit": "steps/s",
+            round(_steady_rate(cfg, n_chunks=2 if quick else 4), 3),
+            "unit": "steps/s",
             "detail": "cows pair, dino_vitb8, n_crops=1, full-res generator"}
 
 
@@ -73,7 +74,8 @@ def config_b(quick: bool) -> dict:
         dataroot=COWS, seed=3, remat_vit=True, A_resize=512, B_resize=512,
         global_A_crops_n_crops=2, global_B_crops_n_crops=2))
     return {"config": "b_512px_multicrop", "steps_per_sec":
-            round(_steady_rate(cfg), 3), "unit": "steps/s",
+            round(_steady_rate(cfg, n_chunks=2 if quick else 4), 3),
+            "unit": "steps/s",
             "detail": "512px pair, 2 crops per side per step"}
 
 

@@ -338,14 +338,15 @@ def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
             conv_fn = pallas_conv_chw
         else:
             def conv_fn(x, p, stride=1, pad="zero"):
-                """Per-site dispatch, v5e-measured (f+b, batch 2).
-
-                Stride-2 always goes to the reshape-phase dots (the Pallas
-                space-to-depth path re-slices with stride 2 — gathers).
-                Stride-1 k>=3: the Pallas slab kernel wins where the XLA
-                dots re-read a big input 9x (large HW) or launch tiny
-                dots (HW<=32); the mid sizes fuse well in XLA. 1x1: Pallas
-                wins once the channel contraction is non-trivial."""
+                """Per-site dispatch, v5e-measured END TO END (the only
+                measurement that held up): only the large-spatial stride-1
+                k>=3 convs — where the XLA shifted dots re-read a big
+                input slab k^2 times — go to the Pallas kernel. Isolated
+                microbenchmarks also favored Pallas for 1x1 and tiny-HW
+                sites, but routing those regressed the full train step
+                (custom-calls break XLA's BN/act fusion around the dots),
+                so everything else stays on the XLA formulation; stride-2
+                always uses the reshape-phase dots."""
                 kh = p["kernel"].shape[0]
                 cin, hw = x.shape[1], x.shape[3]
                 if stride == 1 and kh >= 3 and hw >= 448 and cin > 16:

@@ -75,6 +75,12 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
     manual_axes = {"dp", "tp"} if mesh.shape["tp"] == 1 else {"dp"}
     if mesh.shape["tp"] > 1:
         extractor = dataclasses.replace(extractor, use_pallas=False)
+        # Same constraint for the generator: conv_impl auto/pallas could
+        # emit Mosaic conv kernels (large canvases) inside the tp-auto
+        # region — force the pure-XLA formulation there.
+        if cfg.generator_layout == "chw":
+            g_apply = functools.partial(unet.skip_apply_chw,
+                                        conv_impl="xla")
 
     def transform(x):
         y = img_ops.dino_global_resize(

@@ -404,6 +404,7 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
 
     t_start = time.perf_counter()
     step_idx = start_epoch - 1
+    parts: Dict[str, Any] = {}
     while step_idx < total_steps:
         lam = lambdas_vec(cfg, step_idx)
         lr = sched.lr_for_step(step_idx)
@@ -450,7 +451,9 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
     out = program.render(state["params"], pair.A)
     out.block_until_ready()
     wall = time.perf_counter() - t_start
-    if total_steps > 0:
+    if parts:
+        # A run shorter than one log interval must still report its
+        # losses; a resumed run already at total_steps has none to report.
         last_losses = {k: float(v) for k, v in parts.items()}
     saver.close()
     save_result(np.asarray(out), root)

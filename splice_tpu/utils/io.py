@@ -35,8 +35,9 @@ def _write_png(arr_u8: np.ndarray, path: str) -> None:
 def tensor2im(image_01) -> np.ndarray:
     """Clamp-[0,1] float image -> uint8 HWC (reference util/util.py:42-52).
 
-    Accepts [H,W,3] or a leading batch dim [1,H,W,3] (the reference takes
-    torch CHW and squeezes; here the native layout is already HWC)."""
+    Host-side counterpart of the on-device splice_tpu.ops.image.tensor2im;
+    additionally squeezes a leading batch dim [1,H,W,3] (the reference
+    takes torch CHW and squeezes; here the native layout is already HWC)."""
     arr = np.asarray(image_01)
     if arr.ndim == 4:
         arr = arr[0]
