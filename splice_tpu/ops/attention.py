@@ -115,6 +115,109 @@ def _pallas_attention_fwd_impl(q, k, v, scale: float):
     return out[:, :N].reshape(B, H, N, dh)
 
 
+# ---------------------------------------------------------------------------
+# Pallas backward kernel
+# ---------------------------------------------------------------------------
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     dk_acc, dv_acc, *, scale: float, n_valid: int,
+                     nq_tiles: int):
+    """One (batch*head, q-block) grid cell of the attention backward.
+
+    Recomputes this q-block's softmax row block from q/k (the forward
+    saves no probabilities — logits never touch HBM in either direction),
+    emits dq for the block, and accumulates this block's dk/dv
+    contributions in fp32 VMEM scratch across the sequential q-grid;
+    the last block flushes the accumulators to HBM.
+
+    Padded q rows carry zero cotangent (g is zero-padded), so their
+    contributions to dk/dv vanish identically; padded k columns are masked
+    to -inf before the softmax, so their p (and thus dl) columns are zero.
+    """
+    i = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [BQ, N]
+    n_pad = k.shape[0]
+    if n_valid < n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < n_valid, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)               # fp32 [BQ, N]
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [BQ, N]
+    dl = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))  # fp32 [BQ, N]
+    dl_c = dl.astype(q.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        dl_c, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    # dk/dv contributions contract over this q block: [N, dh].
+    dk_c = jax.lax.dot_general(
+        dl_c, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dv_c = jax.lax.dot_general(
+        p.astype(v.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = dk_c
+        dv_acc[:] = dv_c
+
+    @pl.when(i > 0)
+    def _():
+        dk_acc[:] += dk_c
+        dv_acc[:] += dv_c
+
+    @pl.when(i == nq_tiles - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _pallas_attention_bwd_impl(q, k, v, g, scale: float):
+    B, H, N, dh = q.shape
+    n_pad = pl.cdiv(N, 128) * 128
+    nq_pad = pl.cdiv(N, _BQ) * _BQ
+    qp = jnp.pad(q.reshape(B * H, N, dh), ((0, 0), (0, nq_pad - N), (0, 0)))
+    gp = jnp.pad(g.reshape(B * H, N, dh), ((0, 0), (0, nq_pad - N), (0, 0)))
+    kp = jnp.pad(k.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
+    vp = jnp.pad(v.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
+    nq_tiles = nq_pad // _BQ
+    kernel = functools.partial(_attn_bwd_kernel, scale=float(scale),
+                               n_valid=N, nq_tiles=nq_tiles)
+    interpret = jax.default_backend() == "cpu"
+    kv_spec = pl.BlockSpec((1, n_pad, dh), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bq_spec = pl.BlockSpec((1, _BQ, dh), lambda b, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    dq_p, dk_p, dv_p = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B * H, nq_pad, dh), q.dtype),
+                   jax.ShapeDtypeStruct((B * H, n_pad, dh), k.dtype),
+                   jax.ShapeDtypeStruct((B * H, n_pad, dh), v.dtype)),
+        grid=(B * H, nq_tiles),
+        in_specs=[bq_spec, kv_spec, kv_spec, bq_spec],
+        out_specs=(bq_spec, kv_spec, kv_spec),
+        scratch_shapes=[pltpu.VMEM((n_pad, dh), jnp.float32),
+                        pltpu.VMEM((n_pad, dh), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * N * N * dh,
+            bytes_accessed=7 * B * H * N * dh * q.dtype.itemsize,
+            transcendentals=B * H * N * N),
+        interpret=interpret,
+    )(qp, kp, vp, gp)
+    return (dq_p[:, :N].reshape(B, H, N, dh),
+            dk_p[:, :N].reshape(B, H, N, dh),
+            dv_p[:, :N].reshape(B, H, N, dh))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _pallas_attention(q, k, v, scale):
     return _pallas_attention_fwd_impl(q, k, v, scale)
@@ -124,7 +227,7 @@ def _pallas_attention_fwd(q, k, v, scale):
     return _pallas_attention_fwd_impl(q, k, v, scale), (q, k, v)
 
 
-def _pallas_attention_bwd(scale, res, g):
+def _xla_attention_bwd(scale, res, g):
     """Exact softmax-attention backward via XLA recompute (fp32)."""
     q, k, v = res
     q32, k32, v32, g32 = (t.astype(jnp.float32) for t in (q, k, v, g))
@@ -137,6 +240,11 @@ def _pallas_attention_bwd(scale, res, g):
     dq = jnp.einsum("bhqk,bhkd->bhqd", dl, k32, precision=_HI) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", dl, q32, precision=_HI) * scale
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _pallas_attention_bwd(scale, res, g):
+    q, k, v = res
+    return _pallas_attention_bwd_impl(q, k, v, g, scale)
 
 
 _pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
