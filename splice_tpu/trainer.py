@@ -34,7 +34,8 @@ from splice_tpu.models import unet, vit as vit_lib
 from splice_tpu.models.weights import load_or_init_vit_params
 from splice_tpu.ops import image as img_ops
 from splice_tpu.utils.io import AsyncImageSaver, save_result
-from splice_tpu.utils.metrics import MetricsLogger, StepTimer
+from splice_tpu.utils.metrics import (MetricsLogger, StepTimer,
+                                      device_memory_stats)
 
 
 # ---------------------------------------------------------------------------
@@ -441,7 +442,8 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
             last_losses = {k: float(v) for k, v in parts.items()}
             sched.observe(last_losses.get("loss", math.inf))
             logger.log(step_idx - 1, {**last_losses, "lr": lr,
-                                      "steps_per_sec": timer.rate()})
+                                      "steps_per_sec": timer.rate(),
+                                      **device_memory_stats()})
             if callback is not None:
                 callback(out)
         if ckpt is not None and step_idx % cfg.checkpoint_every == 0:

@@ -36,6 +36,24 @@ class MetricsLogger:
             self._fh = None
 
 
+def device_memory_stats() -> Dict[str, float]:
+    """Peak/current HBM use of the default device in MiB (observability for
+    production sizing; empty on backends without memory_stats, e.g. CPU)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    out = {}
+    for key, name in (("bytes_in_use", "hbm_in_use_mib"),
+                      ("peak_bytes_in_use", "hbm_peak_mib"),
+                      ("bytes_limit", "hbm_limit_mib")):
+        if key in stats:
+            out[name] = round(stats[key] / (1024 * 1024), 1)
+    return out
+
+
 class StepTimer:
     """Steps/sec over a sliding window, host-side."""
 
