@@ -256,11 +256,18 @@ def gaussian_blur3(img: jax.Array, sigma: jax.Array) -> jax.Array:
 def random_gaussian_blur3(img: jax.Array, key: jax.Array,
                           p: float = 0.2) -> jax.Array:
     """RandomApply(GaussianBlur(3), p) with sigma ~ U(0.1, 2.0)
-    (torchvision default sigma range)."""
+    (torchvision default sigma range).
+
+    lax.cond, not compute-then-select: under jit the untaken branch is
+    skipped, so the full-image separable blur (~3 ms/step at 900px,
+    profiled as the hottest augmentation op) only runs on the ~p of steps
+    that actually use it. Under vmap (multi-pair) cond lowers back to
+    select and both branches run — same cost as before, no worse."""
     k_apply, k_sigma = jax.random.split(key)
     sigma = jax.random.uniform(k_sigma, (), minval=0.1, maxval=2.0)
-    blurred = gaussian_blur3(img, sigma)
-    return jnp.where(jax.random.bernoulli(k_apply, p), blurred, img)
+    return jax.lax.cond(jax.random.bernoulli(k_apply, p),
+                        lambda im: gaussian_blur3(im, sigma),
+                        lambda im: im, img)
 
 
 def structure_augment(img: jax.Array, key: jax.Array) -> jax.Array:
@@ -269,8 +276,9 @@ def structure_augment(img: jax.Array, key: jax.Array) -> jax.Array:
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     img = random_hflip(img, k1)
-    jittered = color_jitter(img, k2)
-    img = jnp.where(jax.random.bernoulli(k3, 0.5), jittered, img)
+    img = jax.lax.cond(jax.random.bernoulli(k3, 0.5),
+                       lambda im: color_jitter(im, k2),
+                       lambda im: im, img)
     img = random_gaussian_blur3(img, k4)
     return img
 
