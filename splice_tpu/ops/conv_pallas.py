@@ -314,21 +314,32 @@ def pallas_conv_chw(x: jax.Array, p: dict, stride: int = 1,
     if stride == 1:
         out = conv_valid_chw(x, w, k)
     elif stride == 2:
+        # Space-to-depth: a stride-2 kxk conv is EXACTLY a stride-1
+        # ceil(k/2)-sized conv over the depth-4 phase image with the taps
+        # scattered into a [k2, k2, 4*Cin, Cout] kernel (tap (dy, dx)
+        # lands in sub-position (dy//2, dx//2) of phase (dy%2, dx%2);
+        # unused slots stay zero). The phase extraction is an even-pad +
+        # reshape (cheap relayout — stride-2 slices would lower to XLA
+        # gathers), and the single conv contracts K = k2*k2*4*Cin on the
+        # MXU instead of accumulating 4 phase convs.
         B, _, hp, wp = x.shape
         ho = (hp - k) // 2 + 1
         wo = (wp - k) // 2 + 1
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, hp % 2 + 2), (0, wp % 2 + 2)))
         k2 = (k + 1) // 2          # per-phase sub-kernel size
-        out = None
-        for py in range(2):
-            for px in range(2):
-                wk = jnp.zeros((k2, k2, cin, cout), w.dtype)
-                for dy in range(py, k, 2):
-                    for dx in range(px, k, 2):
-                        wk = wk.at[dy // 2, dx // 2].set(w[dy, dx])
-                ph = x[:, :, py::2, px::2]
-                t = conv_valid_chw(ph, wk, k2)[:, :, :ho, :wo]
-                out = t if out is None else out + t
+        # Each phase needs (k-1)//2 // 1 + ho rows; padding to even plus
+        # one extra phase row/col covers every (dy//2, dx//2) shift.
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, hp % 2 + 2), (0, wp % 2 + 2)))
+        hp2, wp2 = x.shape[2] // 2, x.shape[3] // 2
+        xr = x.reshape(B, cin, hp2, 2, wp2, 2)
+        # [B, py, px, cin, hp2, wp2] -> [B, 4*cin, hp2, wp2]
+        s2d = xr.transpose(0, 3, 5, 1, 2, 4).reshape(B, 4 * cin, hp2, wp2)
+        wk = jnp.zeros((k2, k2, 4, cin, cout), w.dtype)
+        for dy in range(k):
+            for dx in range(k):
+                ph = (dy % 2) * 2 + (dx % 2)
+                wk = wk.at[dy // 2, dx // 2, ph].set(w[dy, dx])
+        wk = wk.reshape(k2, k2, 4 * cin, cout)
+        out = conv_valid_chw(s2d, wk, k2)[:, :, :ho, :wo]
     else:
         raise NotImplementedError(stride)
     if "bias" in p:
