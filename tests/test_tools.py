@@ -134,3 +134,29 @@ class TestResume:
                                   "checkpoint_dir": None})
         res = trainer.train_pair(cfg2, n_steps=4)
         assert np.isfinite(res["losses"]["loss"])
+
+
+class TestEvaluate:
+    def test_psnr_identity_and_known_value(self):
+        from splice_tpu.tools.evaluate import psnr
+        rng = np.random.default_rng(0)
+        a = rng.random((16, 16, 3))
+        assert psnr(a, a) == float("inf")
+        b = np.clip(a + 0.1, 0.0, 1.0)
+        mse = np.mean((a - b) ** 2)
+        assert abs(psnr(a, b) - 10 * np.log10(1.0 / mse)) < 1e-9
+
+    def test_ssim_bounds_and_skimage_parity(self):
+        from splice_tpu.tools.evaluate import ssim
+        rng = np.random.default_rng(1)
+        a = rng.random((32, 32, 3))
+        assert abs(ssim(a, a) - 1.0) < 1e-9
+        noisy = np.clip(a + rng.normal(0, 0.2, a.shape), 0, 1)
+        s = ssim(a, noisy)
+        assert 0.0 < s < 1.0
+        skimage = pytest.importorskip("skimage.metrics",
+                                      reason="skimage not installed")
+        ref = skimage.structural_similarity(
+            a, noisy, channel_axis=-1, data_range=1.0, gaussian_weights=True,
+            sigma=1.5, use_sample_covariance=False)
+        assert abs(s - ref) < 5e-3
