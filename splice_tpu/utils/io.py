@@ -18,6 +18,8 @@ import numpy as np
 
 def _to_uint8(image_hwc01) -> np.ndarray:
     arr = np.asarray(image_hwc01)
+    if arr.dtype == np.uint8:     # already converted (e.g. on device)
+        return arr
     return (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
@@ -75,16 +77,19 @@ class AsyncImageSaver:
             arr, path = item
             try:
                 pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
-                _write_png(arr, path)
+                _write_png(_to_uint8(arr), path)
             except Exception:
                 pass
             finally:
                 self._q.task_done()
 
     def save(self, image_hwc01, path: str) -> None:
-        arr = _to_uint8(image_hwc01)
+        """Accepts numpy OR a device array: the device-to-host transfer
+        happens in the writer thread (np.asarray in _run via _to_uint8),
+        so on a remote-tunnel TPU the train loop never waits for the
+        multi-MB image download."""
         try:
-            self._q.put_nowait((arr, path))
+            self._q.put_nowait((image_hwc01, path))
         except queue.Full:
             pass    # drop frame; a newer one will land shortly
 
