@@ -153,6 +153,10 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         g, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                  # [BQ, N]
     dl = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))  # fp32 [BQ, N]
+    # dl is cast to the input dtype (bf16 on the TPU path) so the dq/dk dots
+    # hit the MXU; the pure-XLA backward kept dl fp32, so the bf16 path
+    # trades a small precision loss (bounded by test_attention grad-parity
+    # tolerances) for MXU throughput.
     dl_c = dl.astype(q.dtype)
     dq_ref[0] = (jax.lax.dot_general(
         dl_c, k, (((1,), (0,)), ((), ())),

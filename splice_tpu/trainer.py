@@ -347,7 +347,12 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
     """Optimize one pair; returns {'state', 'losses', 'steps_per_sec',
     'output'}. `init_params` warm-starts the generator (video mode);
     passing `program` reuses an already-built/compiled step (video mode
-    runs many same-shape frames — rebuilding per frame re-jits)."""
+    runs many same-shape frames — rebuilding per frame re-jits).
+
+    `callback`, when given, is invoked at each log boundary with the
+    rendered output as a uint8 HWC array in [0, 255] (rendered on device;
+    do NOT multiply by 255 — reference train.py:70-76 callback parity but
+    with the dtype already quantized)."""
     seed = resolve_seed(cfg)
     print(f"running with seed: {seed}.")
     root = dataroot or cfg.dataroot

@@ -40,9 +40,13 @@ class Checkpointer:
         if self._mgr is not None:
             self._mgr.save(step, args=self._ocp.args.StandardSave(state))
             return
-        flat, treedef = jax.tree.flatten(state)
-        np.savez(os.path.join(self.directory, f"ckpt_{step}.npz"),
-                 *[np.asarray(x) for x in flat])
+        # Name-keyed by key-path so restore matches leaves by name, not by
+        # np.savez insertion order (which silently breaks if the state tree
+        # gains/reorders a key between save and restore).
+        leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+        named = {jax.tree_util.keystr(path): np.asarray(leaf)
+                 for path, leaf in leaves}
+        np.savez(os.path.join(self.directory, f"ckpt_{step}.npz"), **named)
 
     def wait(self) -> None:
         if self._mgr is not None:
@@ -65,7 +69,18 @@ class Checkpointer:
                 return self._mgr.restore(
                     step, args=self._ocp.args.StandardRestore(template))
             return self._mgr.restore(step)
-        flat, treedef = jax.tree.flatten(template)
         data = np.load(os.path.join(self.directory, f"ckpt_{step}.npz"))
-        leaves = [data[k] for k in data.files]
-        return jax.tree.unflatten(treedef, leaves)
+        paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+        if set(data.files) == {f"arr_{i}" for i in range(len(data.files))}:
+            # Legacy positional checkpoint (pre name-keyed format).
+            leaves = [data[f"arr_{i}"] for i in range(len(data.files))]
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+        leaves = []
+        for path, leaf in paths_leaves:
+            name = jax.tree_util.keystr(path)
+            if name not in data:
+                raise KeyError(
+                    f"checkpoint ckpt_{step}.npz missing leaf {name!r}; "
+                    f"has {sorted(data.files)[:8]}...")
+            leaves.append(data[name])
+        return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -38,6 +38,7 @@ def train_video(cfg: Config,
     params = None
     stats = []
     program = None
+    program_shapes = None
     for idx, (name, pair) in enumerate(load_video_frames(cfg)):
         steps = first_steps if idx == 0 else warm_steps
         if program is None or program_shapes != (pair.A.shape,

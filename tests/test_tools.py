@@ -135,6 +135,31 @@ class TestResume:
         res = trainer.train_pair(cfg2, n_steps=4)
         assert np.isfinite(res["losses"]["loss"])
 
+    def test_npz_fallback_name_keyed_restore(self, tmp_path):
+        """The npz fallback must restore by leaf NAME, so a reordered (or
+        extended-with-defaults template) state tree round-trips correctly —
+        positional restore silently swaps leaves."""
+        from splice_tpu.utils.checkpoint import Checkpointer
+
+        ck = Checkpointer(str(tmp_path / "ck"))
+        ck._mgr = None  # force the npz fallback even when orbax imports
+        state = {"params": {"w": np.arange(4.0), "b": np.ones(2)},
+                 "opt": {"mu": np.full(3, 7.0)}}
+        ck.save(1, state)
+        # Template with keys declared in a different insertion order.
+        template = {"opt": {"mu": np.zeros(3)},
+                    "params": {"b": np.zeros(2), "w": np.zeros(4)}}
+        restored = ck.restore(1, template=template)
+        np.testing.assert_array_equal(restored["params"]["w"],
+                                      np.arange(4.0))
+        np.testing.assert_array_equal(restored["params"]["b"], np.ones(2))
+        np.testing.assert_array_equal(restored["opt"]["mu"], np.full(3, 7.0))
+        # A template that grew a leaf must fail loudly, not mis-assign.
+        grown = dict(template)
+        grown["extra"] = np.zeros(1)
+        with pytest.raises(KeyError):
+            ck.restore(1, template=grown)
+
 
 class TestEvaluate:
     def test_psnr_identity_and_known_value(self):
@@ -147,6 +172,32 @@ class TestEvaluate:
         assert abs(psnr(a, b) - 10 * np.log10(1.0 / mse)) < 1e-9
 
     def test_ssim_bounds_and_skimage_parity(self):
+        def _ssim_bruteforce(a, b, data_range=1.0):
+            ax = np.arange(11, dtype=np.float64) - 5.0
+            g = np.exp(-(ax ** 2) / (2.0 * 1.5 ** 2))
+            w = np.outer(g, g)
+            w /= w.sum()
+            C1, C2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+            chans = []
+            for c in range(a.shape[-1]):
+                x, y = a[..., c], b[..., c]
+                H, W = x.shape
+                vals = []
+                for i in range(H - 10):
+                    for j in range(W - 10):
+                        px = x[i:i + 11, j:j + 11]
+                        py = y[i:i + 11, j:j + 11]
+                        mx = (w * px).sum()
+                        my = (w * py).sum()
+                        sx = (w * px * px).sum() - mx * mx
+                        sy = (w * py * py).sum() - my * my
+                        sxy = (w * px * py).sum() - mx * my
+                        vals.append(((2 * mx * my + C1) * (2 * sxy + C2))
+                                    / ((mx * mx + my * my + C1)
+                                       * (sx + sy + C2)))
+                chans.append(np.mean(vals))
+            return float(np.mean(chans))
+
         from splice_tpu.tools.evaluate import ssim
         rng = np.random.default_rng(1)
         a = rng.random((32, 32, 3))
@@ -154,6 +205,11 @@ class TestEvaluate:
         noisy = np.clip(a + rng.normal(0, 0.2, a.shape), 0, 1)
         s = ssim(a, noisy)
         assert 0.0 < s < 1.0
+        # Independent brute-force Wang et al. SSIM: per-window loops over
+        # every valid 11x11 window, no shared code with the tool's
+        # shift-and-accumulate _filter2.  Agreement to 1e-10 checks the
+        # formulation without needing scikit-image installed.
+        assert abs(s - _ssim_bruteforce(a, noisy)) < 1e-10
         skimage = pytest.importorskip("skimage.metrics",
                                       reason="skimage not installed")
         ref = skimage.structural_similarity(
