@@ -107,6 +107,32 @@ class Scheduler:
         raise ValueError(self.policy)
 
 
+def device_lr_fn(cfg: Config) -> Optional[Callable]:
+    """Closed-form LR as a traced function of the step index, for policies
+    whose schedule doesn't depend on host feedback (linear/step/cosine).
+
+    Computing lr INSIDE the scanned step keeps the chunked dispatch intact:
+    with the host-side scheduler every step needed its own dispatch to
+    inject a fresh lr (dominating cost through a remote-TPU tunnel), so any
+    scheduler != none collapsed throughput. Matches Scheduler.lr_for_step
+    exactly (torch parity, reference util/util.py:8-25); plateau stays
+    host-side because it observes the loss.
+    """
+    c = cfg
+    if c.scheduler_policy == "linear":
+        return lambda i: c.lr * jnp.maximum(
+            0.0, 1.0 - jnp.maximum(i, 0).astype(jnp.float32)
+            / float(c.scheduler_n_epochs_decay + 1))
+    if c.scheduler_policy == "step":
+        return lambda i: c.lr * jnp.power(
+            jnp.float32(0.5),
+            (i // c.scheduler_lr_decay_iters).astype(jnp.float32))
+    if c.scheduler_policy == "cosine":
+        return lambda i: c.lr * 0.5 * (1.0 + jnp.cos(
+            jnp.float32(math.pi) * i.astype(jnp.float32) / c.n_epochs))
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Step builder
 # ---------------------------------------------------------------------------
@@ -234,13 +260,22 @@ def build_program(cfg: Config, pair: ImagePair,
         total = losses_lib.weighted_total(active, lam_map)
         return total, parts
 
+    dev_lr = device_lr_fn(cfg)
+
     def step(state, vit_params, A, B, step_idx, base_key, lam,
              entire: bool):
         key = jax.random.fold_in(base_key, step_idx)
         (total, parts), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"], vit_params, A, B, key,
                                    lam, entire)
-        updates, opt_state = tx.update(grads, state["opt_state"],
+        opt_in = state["opt_state"]
+        if dev_lr is not None:
+            # In-trace lr assignment into the injected hyperparams (the
+            # documented optax pattern): each scanned step sees its own lr
+            # without a host dispatch.
+            opt_in.hyperparams["learning_rate"] = dev_lr(
+                jnp.asarray(step_idx, jnp.int32))
+        updates, opt_state = tx.update(grads, opt_in,
                                        state["params"])
         params = optax.apply_updates(state["params"], updates)
         parts["loss"] = total
@@ -256,7 +291,12 @@ def build_program(cfg: Config, pair: ImagePair,
             return st, parts
 
         state, parts_seq = jax.lax.scan(body, state, jnp.arange(n))
-        return state, jax.tree.map(lambda x: x[-1], parts_seq)
+        parts = jax.tree.map(lambda x: x[-1], parts_seq)
+        # Per-step totals for the whole chunk: the plateau scheduler must
+        # observe EVERY step's loss (torch ReduceLROnPlateau steps per
+        # epoch, reference util/util.py:18), not just chunk/log boundaries.
+        parts["loss_seq"] = parts_seq["loss"]
+        return state, parts
 
     _jit_chunks: Dict[int, Callable] = {}
     _jit_entire = jax.jit(functools.partial(step, entire=True),
@@ -423,8 +463,13 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
                       cfg.profile_start_step + cfg.profile_n_steps):
                 if m > i:
                     cands.append(m)
-        if cfg.scheduler_policy != "none":
-            cands.append(i + 1)     # per-step LR fidelity for schedulers
+        if cfg.scheduler_policy == "plateau":
+            # Plateau needs host feedback: the chunk reports every step's
+            # loss, but a mid-chunk lr cut only applies from the next
+            # dispatch — cap chunks at patience+1 so the cut lands within
+            # one patience window. linear/step/cosine compute lr inside the
+            # scanned step (device_lr_fn) and keep full-length chunks.
+            cands.append(i + 6)
         return min(c for c in cands if c > i)
 
     t_start = time.perf_counter()
@@ -433,8 +478,11 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
     while step_idx < total_steps:
         lam = lambdas_vec(cfg, step_idx)
         lr = sched.lr_for_step(step_idx)
-        state["opt_state"].hyperparams["learning_rate"] = jnp.asarray(
-            lr, jnp.float32)
+        if cfg.scheduler_policy in ("none", "plateau"):
+            # linear/step/cosine set lr in-trace (device_lr_fn); writing it
+            # here too would be dead work overwritten on device.
+            state["opt_state"].hyperparams["learning_rate"] = jnp.asarray(
+                lr, jnp.float32)
         if cfg.profile_dir and step_idx == cfg.profile_start_step:
             jax.profiler.start_trace(cfg.profile_dir)
         if cfg.profile_dir and \
@@ -459,13 +507,21 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
                 jnp.asarray(lam), n_done)
         step_idx += n_done
         timer.tick(n_done)
+        loss_seq = parts.pop("loss_seq", None)
+        if cfg.scheduler_policy == "plateau":
+            # Feed EVERY step's loss to the plateau logic (torch patience
+            # semantics are per-step; observing only at log boundaries made
+            # patience log_images_freq x too slow). One small d2h per chunk.
+            seq = np.atleast_1d(np.asarray(
+                loss_seq if loss_seq is not None else parts["loss"]))
+            for v in seq:
+                sched.observe(float(v))
 
         if step_idx % cfg.log_images_freq == 0 or step_idx >= total_steps:
             # uint8 on device; the saver thread does the (tunnel) d2h.
             out = program.render_u8(state["params"], pair.A)
             saver.save(out, out_png)
             last_losses = fetch_scalars(parts)
-            sched.observe(last_losses.get("loss", math.inf))
             # memory_stats is a device RPC (a network roundtrip through a
             # remote-TPU tunnel) — sample it every 10th log, not every log.
             mem = device_memory_stats() \

@@ -53,6 +53,27 @@ class TestScheduler:
             s.observe(1.0)
         assert s.lr_for_step(0) == pytest.approx(0.2)
 
+    def test_device_lr_matches_host_scheduler(self):
+        """The in-step (scanned) lr must reproduce the host scheduler's
+        closed form exactly for every step index, so chunked dispatch can
+        stay on with scheduler != none."""
+        for kw in (dict(scheduler_policy="linear",
+                        scheduler_n_epochs_decay=8),
+                   dict(scheduler_policy="step",
+                        scheduler_lr_decay_iters=10),
+                   dict(scheduler_policy="cosine", n_epochs=100)):
+            cfg = self.cfg(lr=0.3, **kw)
+            host = trainer.Scheduler(cfg)
+            dev = trainer.device_lr_fn(cfg)
+            for i in [0, 1, 3, 9, 10, 25, 50, 99]:
+                np.testing.assert_allclose(
+                    float(dev(jnp.int32(i))), host.lr_for_step(i),
+                    rtol=2e-4, atol=1e-9, err_msg=f"{kw} step {i}")
+        assert trainer.device_lr_fn(self.cfg(scheduler_policy="none")) \
+            is None
+        assert trainer.device_lr_fn(
+            self.cfg(scheduler_policy="plateau")) is None
+
 
 class TestOptimizerParity:
     def test_adam_first_step_matches_torch(self):
@@ -98,6 +119,46 @@ def tiny_run(tmp_path_factory):
         dino_global_patch_size=32, dino_global_max_size=64))
     res = trainer.train_pair(cfg, n_steps=20)
     return cfg, root, res
+
+
+class TestScheduledTraining:
+    def test_linear_schedule_in_scanned_chunk(self, tmp_path):
+        """End-to-end with scheduler_policy=linear: lr decays inside the
+        scanned chunk (state's injected lr after the run equals the host
+        closed form at the last step) and per-step losses come back for
+        the whole chunk."""
+        src = pathlib.Path("datasets/splicing/cows")
+        root = tmp_path / "pair"
+        shutil.copytree(src / "A", root / "A")
+        shutil.copytree(src / "B", root / "B")
+        cfg = load_config(None, dict(
+            dataroot=str(root), A_resize=48, B_resize=48, seed=3,
+            n_epochs=8, entire_A_every=100, log_images_freq=100,
+            scheduler_policy="linear", scheduler_n_epochs_decay=8,
+            vit_compute_dtype="float32", use_pallas_attention=False,
+            remat_vit=False, dino_model_name="dino_vits8",
+            dino_global_patch_size=32, dino_global_max_size=64))
+        res = trainer.train_pair(cfg, n_steps=8)
+        got = float(res["state"]["opt_state"].hyperparams["learning_rate"])
+        want = trainer.Scheduler(cfg).lr_for_step(7)
+        assert got == pytest.approx(want, rel=1e-6)
+        assert np.isfinite(res["losses"]["loss"])
+
+    def test_chunk_returns_per_step_loss_seq(self, tiny_run):
+        cfg, root, res = tiny_run
+        pair = trainer.load_pair(cfg, str(root))
+        extractor = trainer.make_extractor_from_config(cfg)
+        program = trainer.build_program(cfg, pair, extractor)
+        state = program.init_state(jax.random.PRNGKey(0))
+        lam = jnp.asarray(trainer.lambdas_vec(cfg, 2))
+        state, parts = program.step_chunk(
+            state, pair.A, pair.B, jnp.int32(2), jax.random.PRNGKey(1),
+            lam, 4)
+        seq = np.asarray(parts["loss_seq"])
+        assert seq.shape == (4,) and np.all(np.isfinite(seq))
+        # last element of the sequence IS the reported chunk loss
+        np.testing.assert_allclose(seq[-1], float(parts["loss"]),
+                                   rtol=1e-6)
 
 
 class TestEndToEnd:
