@@ -33,7 +33,7 @@ from splice_tpu.models import extractor as ext_lib
 from splice_tpu.models import unet, vit as vit_lib
 from splice_tpu.models.weights import load_or_init_vit_params
 from splice_tpu.ops import image as img_ops
-from splice_tpu.utils.io import AsyncImageSaver, save_result
+from splice_tpu.utils.io import AsyncImageSaver
 from splice_tpu.utils.metrics import (MetricsLogger, StepTimer,
                                       device_memory_stats)
 
@@ -336,10 +336,19 @@ def build_program(cfg: Config, pair: ImagePair,
         at 900x1200), which matters through a remote-TPU tunnel."""
         return img_ops.tensor2im(render(flat_params, A))
 
-    def init_state(key) -> Dict[str, Any]:
-        params = unet.init_skip_params(key, gcfg, cfg.init_type,
-                                       cfg.init_gain)
-        flat, _ = ravel_pytree(params)
+    def init_state(key, params=None) -> Dict[str, Any]:
+        """Fresh train state; passing `params` (tree or flat vector) warm
+        starts without the ~200 tiny eager random-init dispatches a fresh
+        init costs (which a remote-TPU tunnel turns into real per-frame
+        latency in video mode)."""
+        if params is None:
+            tree = unet.init_skip_params(key, gcfg, cfg.init_type,
+                                         cfg.init_gain)
+            flat, _ = ravel_pytree(tree)
+        elif getattr(params, "ndim", None) == 1:
+            flat = params
+        else:
+            flat, _ = ravel_pytree(params)
         return {"params": flat, "opt_state": tx.init(flat)}
 
     def ravel_params(tree):
@@ -383,7 +392,8 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
                init_params: Optional[Dict[str, Any]] = None,
                n_steps: Optional[int] = None,
                dataroot: Optional[str] = None,
-               program: Optional[SpliceProgram] = None) -> Dict[str, Any]:
+               program: Optional[SpliceProgram] = None,
+               saver: Optional[AsyncImageSaver] = None) -> Dict[str, Any]:
     """Optimize one pair; returns {'state', 'losses', 'steps_per_sec',
     'output'}. `init_params` warm-starts the generator (video mode);
     passing `program` reuses an already-built/compiled step (video mode
@@ -405,16 +415,14 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
 
     key = jax.random.PRNGKey(seed)
     k_init, k_steps = jax.random.split(key)
-    state = program.init_state(k_init)
     start_epoch = 1
     if init_params is not None:
-        # Accept either a param tree or an already-flat vector (video mode
-        # round-trips the flat state directly).
-        if getattr(init_params, "ndim", None) == 1:
-            state["params"] = init_params
-        else:
-            state["params"] = program.ravel(init_params)
-    elif cfg.resume_from:
+        # Warm start (video mode): state built directly from the given
+        # params (tree or flat vector) — no throwaway random init.
+        state = program.init_state(k_init, params=init_params)
+    else:
+        state = program.init_state(k_init)
+    if init_params is None and cfg.resume_from:
         # Crash recovery / continuation (new capability: the reference
         # loses the whole run on a crash, SURVEY.md §5).
         from splice_tpu.utils.checkpoint import Checkpointer
@@ -437,8 +445,11 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
 
     total_steps = n_steps if n_steps is not None else cfg.n_epochs
     last_losses: Dict[str, Any] = {}
-    saver = AsyncImageSaver()
+    own_saver = saver is None
+    if own_saver:
+        saver = AsyncImageSaver()
     out_png = f"{root}/out/output.png"
+    out_u8 = None
 
     def boundaries_after(i: int) -> int:
         """Next step index (exclusive) where the host must intervene:
@@ -519,8 +530,8 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
 
         if step_idx % cfg.log_images_freq == 0 or step_idx >= total_steps:
             # uint8 on device; the saver thread does the (tunnel) d2h.
-            out = program.render_u8(state["params"], pair.A)
-            saver.save(out, out_png)
+            out_u8 = program.render_u8(state["params"], pair.A)
+            saver.save(out_u8, out_png)
             last_losses = fetch_scalars(parts)
             # memory_stats is a device RPC (a network roundtrip through a
             # remote-TPU tunnel) — sample it every 10th log, not every log.
@@ -530,24 +541,32 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
                                       "steps_per_sec": timer.rate(),
                                       **mem})
             if callback is not None:
-                callback(out)
+                callback(out_u8)
         if ckpt is not None and step_idx % cfg.checkpoint_every == 0:
             ckpt.save(step_idx, state)
-    # Final render + final loss snapshot (a run shorter than one log
-    # interval must still report its losses)
+    # Final float render for the return value. The loop's last iteration
+    # already queued the final output.png (its log branch fires when
+    # step_idx >= total_steps), so no synchronous save/transfer here —
+    # the old blocking np.asarray + PNG write cost a full-image d2h
+    # through the tunnel per video frame.
     out = program.render(state["params"], pair.A)
-    out.block_until_ready()
+    jax.block_until_ready(out)
     wall = time.perf_counter() - t_start
     if parts:
         # A run shorter than one log interval must still report its
         # losses; a resumed run already at total_steps has none to report.
         last_losses = fetch_scalars(parts)
-    saver.close()
-    save_result(np.asarray(out), root)
+    if out_u8 is None:
+        # Zero-step run (e.g. resume already complete): still produce the
+        # output artifact (reference train.py:70-74 contract).
+        out_u8 = program.render_u8(state["params"], pair.A)
+        saver.save(out_u8, out_png, must_write=True)
+    if own_saver:
+        saver.close()
     logger.close()
     return {"state": state, "losses": last_losses,
             "steps_per_sec": total_steps / wall, "output": out,
-            "wall_time": wall, "seed": seed}
+            "output_u8": out_u8, "wall_time": wall, "seed": seed}
 
 
 def train_model(dataroot: Optional[str] = None,

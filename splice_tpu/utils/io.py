@@ -83,11 +83,18 @@ class AsyncImageSaver:
             finally:
                 self._q.task_done()
 
-    def save(self, image_hwc01, path: str) -> None:
+    def save(self, image_hwc01, path: str, must_write: bool = False) -> None:
         """Accepts numpy OR a device array: the device-to-host transfer
         happens in the writer thread (np.asarray in _run via _to_uint8),
         so on a remote-tunnel TPU the train loop never waits for the
-        multi-MB image download."""
+        multi-MB image download.
+
+        must_write=True blocks until the image is queued instead of
+        dropping it — use for unique artifacts (per-frame video outputs)
+        where "a newer one will land shortly" doesn't hold."""
+        if must_write:
+            self._q.put((image_hwc01, path))
+            return
         try:
             self._q.put_nowait((image_hwc01, path))
         except queue.Full:

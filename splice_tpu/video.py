@@ -17,7 +17,7 @@ import numpy as np
 
 from splice_tpu.config import Config
 from splice_tpu.data import load_video_frames
-from splice_tpu.utils.io import save_image
+from splice_tpu.utils.io import AsyncImageSaver
 
 
 def train_video(cfg: Config,
@@ -39,24 +39,33 @@ def train_video(cfg: Config,
     stats = []
     program = None
     program_shapes = None
-    for idx, (name, pair) in enumerate(load_video_frames(cfg)):
-        steps = first_steps if idx == 0 else warm_steps
-        if program is None or program_shapes != (pair.A.shape,
-                                                 pair.B.shape):
-            # Frames share one geometry; build (and jit-compile) the step
-            # once and reuse it for every subsequent frame.
-            program = trainer.build_program(cfg, pair, extractor)
-            program_shapes = (pair.A.shape, pair.B.shape)
-        res = trainer.train_pair(cfg, pair=pair, extractor=extractor,
-                                 init_params=params, n_steps=steps,
-                                 program=program)
-        params = res["state"]["params"]
-        stem = os.path.splitext(name)[0]
-        save_image(np.asarray(res["output"]),
-                   os.path.join(out_dir, f"{stem}_out.png"))
-        stats.append({"frame": name, "steps": steps,
-                      "steps_per_sec": res["steps_per_sec"],
-                      "loss": res["losses"].get("loss")})
-        print(f"[video] frame {idx} ({name}): {steps} steps, "
-              f"{res['steps_per_sec']:.2f} steps/s")
+    # ONE saver thread for the whole clip: per-frame saver creation +
+    # close() made every frame wait for its PNG d2h/write; sharing keeps
+    # the frame loop free of blocking IO entirely.
+    saver = AsyncImageSaver()
+    try:
+        for idx, (name, pair) in enumerate(load_video_frames(cfg)):
+            steps = first_steps if idx == 0 else warm_steps
+            if program is None or program_shapes != (pair.A.shape,
+                                                     pair.B.shape):
+                # Frames share one geometry; build (and jit-compile) the
+                # step once and reuse it for every subsequent frame.
+                program = trainer.build_program(cfg, pair, extractor)
+                program_shapes = (pair.A.shape, pair.B.shape)
+            res = trainer.train_pair(cfg, pair=pair, extractor=extractor,
+                                     init_params=params, n_steps=steps,
+                                     program=program, saver=saver)
+            params = res["state"]["params"]
+            stem = os.path.splitext(name)[0]
+            # uint8 device array: the d2h happens in the saver thread.
+            saver.save(res["output_u8"],
+                       os.path.join(out_dir, f"{stem}_out.png"),
+                       must_write=True)
+            stats.append({"frame": name, "steps": steps,
+                          "steps_per_sec": res["steps_per_sec"],
+                          "loss": res["losses"].get("loss")})
+            print(f"[video] frame {idx} ({name}): {steps} steps, "
+                  f"{res['steps_per_sec']:.2f} steps/s")
+    finally:
+        saver.close()
     return {"frames": stats, "params": params}
