@@ -181,6 +181,83 @@ class TestPortParity:
             del vit_lib.VIT_CONFIGS["_tiny_test"]
 
 
+class TestFullScaleParity:
+    """Production-scale dino_vitb8 (embed 768, depth 12, heads 12, patch 8)
+    at 224px with weights ported through the SAME script a real checkpoint
+    uses: exercises the fused-qkv split at 2304 wide, the 28x28 token
+    grid (785 tokens incl. CLS), the scanned block path (taps only at
+    layer 11 -> lax.scan over blocks 0..10), and the unscanned path
+    (tap at layer 0). Reference semantics: extractor.py:41-49 hooks at
+    production scale."""
+
+    @pytest.fixture(scope="class")
+    def full(self):
+        torch.manual_seed(7)
+        cfg = vit_lib.get_vit_config("dino_vitb8")
+        tmodel = TorchDinoVit(patch=8, dim=768, depth=12, heads=12,
+                              img_size=224).eval()
+        state = {k: v.detach().numpy()
+                 for k, v in tmodel.state_dict().items()}
+        params = w_lib.port_torch_state_dict(state, cfg)
+        rng = np.random.default_rng(10)
+        img = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_blocks, t_qkv = tmodel.forward_collect(
+                torch.from_numpy(img).permute(0, 3, 1, 2))
+        return cfg, params, img, t_blocks, t_qkv
+
+    def test_layer11_taps_match_scan_path(self, full):
+        """Taps only at layer 11 -> blocks 0..10 run under lax.scan."""
+        cfg, params, img, t_blocks, t_qkv = full
+        out = vit_lib.vit_forward(params, jnp.asarray(img), cfg,
+                                  taps={"block": (11,), "qkv": (11,)})
+        assert out["block"][11].shape == (1, 785, 768)
+        assert out["qkv"][11].shape == (1, 785, 2304)
+        np.testing.assert_allclose(np.asarray(out["qkv"][11]),
+                                   t_qkv[11].numpy(), atol=2e-5,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["block"][11]),
+                                   t_blocks[11].numpy(), atol=2e-5,
+                                   rtol=1e-4)
+
+    def test_early_tap_unscanned_path(self, full):
+        """first_tap < 2 disables the scan; both ends must still match."""
+        cfg, params, img, t_blocks, t_qkv = full
+        out = vit_lib.vit_forward(params, jnp.asarray(img), cfg,
+                                  taps={"block": (0, 11)})
+        np.testing.assert_allclose(np.asarray(out["block"][0]),
+                                   t_blocks[0].numpy(), atol=2e-5,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["block"][11]),
+                                   t_blocks[11].numpy(), atol=2e-5,
+                                   rtol=1e-4)
+
+    def test_pos_embed_dino_offset_at_real_grid(self):
+        """DINO's +0.1 interpolate_offset at the real 28-base grid vs
+        torch F.interpolate(scale_factor=..., recompute_scale_factor=
+        False) — the exact mode upstream DINO uses (vision_transformer.py
+        interpolate_pos_encoding). Non-square targets cover the
+        Resize(224, max_size=480) crop geometries."""
+        cfg = vit_lib.get_vit_config("dino_vitb8")
+        assert cfg.base_grid == 28 and cfg.interpolate_offset == 0.1
+        rng = np.random.default_rng(5)
+        pe = rng.standard_normal((1, 1 + 784, 768)).astype(np.float32)
+        for gh, gw in [(30, 26), (60, 44), (28, 33)]:
+            ours = vit_lib.interpolate_pos_embed(jnp.asarray(pe), cfg,
+                                                 gh, gw)
+            patch = torch.from_numpy(
+                pe[:, 1:].reshape(1, 28, 28, 768)).permute(0, 3, 1, 2)
+            ref = F.interpolate(
+                patch, scale_factor=((gh + 0.1) / 28, (gw + 0.1) / 28),
+                mode="bicubic", align_corners=False,
+                recompute_scale_factor=False)
+            assert ref.shape[-2:] == (gh, gw)
+            ref = ref.permute(0, 2, 3, 1).reshape(1, gh * gw, 768).numpy()
+            np.testing.assert_allclose(np.asarray(ours)[:, 1:], ref,
+                                       atol=5e-5, rtol=1e-4,
+                                       err_msg=f"grid ({gh},{gw})")
+
+
 class TestPosEmbedInterpolation:
     def test_same_grid_identity(self):
         cfg = _tiny_cfg()
