@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -33,7 +34,7 @@ from splice_tpu.models import extractor as ext_lib
 from splice_tpu.models import unet
 from splice_tpu.ops import image as img_ops
 from splice_tpu.parallel import mesh as mesh_lib
-from splice_tpu.trainer import LAMBDA_ORDER, make_optimizer
+from splice_tpu.trainer import LAMBDA_ORDER, device_lr_fn, make_optimizer
 
 
 @dataclasses.dataclass
@@ -45,6 +46,7 @@ class MultiPairProgram:
     mesh: Mesh
     gcfg: unet.SkipConfig
     step_chunk: Callable = None   # n regular steps per dispatch (lax.scan)
+    render_u8: Callable = None    # render + on-device uint8 [P,H,W,3]
 
 
 def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
@@ -122,11 +124,21 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
                   if entire or not k.startswith("loss_entire")}
         return losses_lib.weighted_total(active, lam_map), parts
 
-    def per_pair_step(state, vit_params, A, B, key, lam, entire: bool):
+    dev_lr = device_lr_fn(cfg)
+
+    def per_pair_step(state, vit_params, A, B, key, lam, step_idx,
+                      entire: bool):
         (total, parts), grads = jax.value_and_grad(
             per_pair_loss, has_aux=True)(state["params"], vit_params, A, B,
                                          key, lam, entire)
-        updates, opt_state = tx.update(grads, state["opt_state"],
+        opt_in = state["opt_state"]
+        if dev_lr is not None:
+            # linear/step/cosine lr computed in-trace from the step index:
+            # scheduled multi-pair runs keep chunked dispatch (same design
+            # as the single-pair trainer).
+            opt_in.hyperparams["learning_rate"] = dev_lr(
+                jnp.asarray(step_idx, jnp.int32))
+        updates, opt_state = tx.update(grads, opt_in,
                                        state["params"])
         params = optax.apply_updates(state["params"], updates)
         parts["loss"] = total
@@ -147,8 +159,8 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
             jax.random.fold_in(base_key, step_idx), i))(gids)
         return jax.vmap(
             functools.partial(per_pair_step, entire=entire),
-            in_axes=(0, None, 0, 0, 0, None),
-        )(states, vit_params, As, Bs, keys, lam)
+            in_axes=(0, None, 0, 0, 0, None, None),
+        )(states, vit_params, As, Bs, keys, lam, step_idx)
 
     vparams = extractor.params
 
@@ -194,6 +206,11 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
         mesh=mesh, in_specs=(P("dp"), P("dp")), out_specs=P("dp"),
         axis_names=manual_axes, check_vma=False)
     render = jax.jit(render_local)
+    # uint8 on device: periodic per-pair output dumps transfer 4x less
+    # through a remote-TPU tunnel (same rationale as the single-pair
+    # trainer's render_u8).
+    render_u8 = jax.jit(
+        lambda ps, As: img_ops.tensor2im(render_local(ps, As)))
 
     dp_shard = mesh_lib.dp_sharding(mesh)
 
@@ -208,7 +225,7 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
     return MultiPairProgram(step_regular=jit_step(False),
                             step_entire=jit_step(True), render=render,
                             init_states=init_states, mesh=mesh, gcfg=gcfg,
-                            step_chunk=step_chunk)
+                            step_chunk=step_chunk, render_u8=render_u8)
 
 
 def load_pair_batch(cfg: Config, dataroots: Sequence[str],
@@ -241,11 +258,38 @@ def load_pair_batch(cfg: Config, dataroots: Sequence[str],
     return {"A": jnp.stack(As), "B": jnp.stack(Bs)}
 
 
+def _fetch_parts_matrix(parts):
+    """One stacked d2h for the whole [n_losses, P] scalar block (per-key
+    fetches would each be a tunnel roundtrip)."""
+    keys = [k for k in parts]
+    mat = np.asarray(jnp.stack([jnp.asarray(parts[k], jnp.float32)
+                                for k in keys]))
+    return keys, mat
+
+
 def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
                 n_steps: Optional[int] = None,
                 mesh: Optional[Mesh] = None) -> Dict[str, Any]:
-    """Optimize several pairs concurrently; the step count applies to all."""
+    """Optimize several pairs concurrently; the step count applies to all.
+
+    Host-loop parity with the single-pair trainer: per-pair periodic
+    output.png + metrics.jsonl under each pair's dataroot (reference
+    train.py:70-76 cadence, per pair), checkpoint/resume of the stacked
+    states, per-pair PRNG streams (global pair id folded into the step
+    key), and linear/step/cosine LR schedules on device. The plateau
+    scheduler needs per-pair host feedback and is not supported here.
+    """
+    import time
+
     from splice_tpu import trainer
+    from splice_tpu.utils.io import AsyncImageSaver
+    from splice_tpu.utils.metrics import MetricsLogger, StepTimer
+
+    if cfg.scheduler_policy == "plateau":
+        raise ValueError(
+            "scheduler_policy='plateau' is not supported in multi-pair "
+            "mode (needs per-pair host feedback); use "
+            "linear/step/cosine/none")
 
     n_pairs = len(dataroots)
     if mesh is None:
@@ -267,37 +311,96 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
     key = jax.random.PRNGKey(seed)
     k_init, k_steps = jax.random.split(key)
     states = program.init_states(k_init, n_pairs)
+    start_step = 0
+    ckpt = None
+    if cfg.checkpoint_every and cfg.checkpoint_dir:
+        from splice_tpu.utils.checkpoint import Checkpointer
+        ckpt = Checkpointer(cfg.checkpoint_dir)
+    if cfg.resume_from:
+        from splice_tpu.utils.checkpoint import Checkpointer
+        rck = Checkpointer(cfg.resume_from)
+        step0 = rck.latest_step()
+        if step0 is not None:
+            host = rck.restore(step0,
+                               template=jax.tree.map(np.asarray, states))
+            states = jax.device_put(host, dp_shard)
+            start_step = step0
+            print(f"resumed {n_pairs} pairs from {cfg.resume_from} "
+                  f"at step {step0}")
+
+    loggers = [MetricsLogger(os.path.join(r, "out", "metrics.jsonl"))
+               for r in dataroots]
+    saver = AsyncImageSaver()
+    timer = StepTimer()
+    sched = trainer.Scheduler(cfg)
 
     total = n_steps if n_steps is not None else cfg.n_epochs
-    import time
     t0 = time.perf_counter()
     parts = None
     entire_on = cfg.lambda_entire_ssim > 0 or cfg.lambda_entire_cls > 0
+
+    def next_boundary(i: int) -> int:
+        """Next step (exclusive) a regular chunk may run to: a lambda
+        boundary (entire-A / cls_warmup), a log boundary, or a checkpoint
+        boundary — same policy as the single-pair trainer."""
+        cands = [total]
+        if entire_on:
+            cands.append(((i // cfg.entire_A_every) + 1)
+                         * cfg.entire_A_every)
+        if i < cfg.cls_warmup:
+            cands.append(cfg.cls_warmup)
+        k = (i + cfg.log_images_freq) // cfg.log_images_freq
+        cands.append(k * cfg.log_images_freq)
+        if ckpt is not None:
+            k = (i + cfg.checkpoint_every) // cfg.checkpoint_every
+            cands.append(k * cfg.checkpoint_every)
+        return min(c for c in cands if c > i)
+
+    def log_boundary(step_idx: int) -> None:
+        outs_u8 = program.render_u8(states["params"], As)
+        keys, mat = _fetch_parts_matrix(parts)
+        lr = sched.lr_for_step(step_idx - 1)
+        rate = timer.rate()
+        outs_host = np.asarray(outs_u8)   # one [P,H,W,3] u8 transfer
+        for p, root in enumerate(dataroots):
+            saver.save(outs_host[p],
+                       os.path.join(root, "out", "output.png"))
+            loggers[p].log(step_idx - 1,
+                           {**{k: float(mat[j, p])
+                               for j, k in enumerate(keys)},
+                            "lr": lr, "steps_per_sec": rate})
+
     with jax.set_mesh(mesh):
-        step_idx = 0
+        step_idx = start_step
         while step_idx < total:
             lam = jnp.asarray(trainer.lambdas_vec(cfg, step_idx))
             if losses_lib.is_entire_step(cfg, step_idx):
                 states, parts = program.step_entire(
                     states, As, Bs, jnp.int32(step_idx), k_steps, lam)
-                step_idx += 1
-                continue
-            # Regular steps ride one lax.scan dispatch up to the next
-            # lambda boundary (entire-A step or cls_warmup switch).
-            end = total
-            if entire_on:
-                end = min(end, ((step_idx // cfg.entire_A_every) + 1)
-                          * cfg.entire_A_every)
-            if step_idx < cfg.cls_warmup:
-                end = min(end, cfg.cls_warmup)
-            n = end - step_idx
-            states, parts = program.step_chunk(
-                states, As, Bs, jnp.int32(step_idx), k_steps, lam, n)
+                n = 1
+            else:
+                n = next_boundary(step_idx) - step_idx
+                states, parts = program.step_chunk(
+                    states, As, Bs, jnp.int32(step_idx), k_steps, lam, n)
             step_idx += n
+            timer.tick(n)
+            if parts is not None:
+                parts.pop("loss_seq", None)
+            if step_idx % cfg.log_images_freq == 0 or step_idx >= total:
+                log_boundary(step_idx)
+            if ckpt is not None and step_idx % cfg.checkpoint_every == 0:
+                ckpt.save(step_idx, states)
         outs = program.render(states["params"], As)
         outs.block_until_ready()
     wall = time.perf_counter() - t0
+    if ckpt is not None:
+        ckpt.wait()
+    saver.close()
+    for lg in loggers:
+        lg.close()
+    done = total - start_step
     return {"states": states, "outputs": outs,
             "losses": {k: np.asarray(v) for k, v in (parts or {}).items()},
-            "steps_per_sec": total / wall,
-            "pair_steps_per_sec": total * n_pairs / wall, "wall_time": wall}
+            "steps_per_sec": done / wall if wall else float("inf"),
+            "pair_steps_per_sec": done * n_pairs / wall if wall
+            else float("inf"), "wall_time": wall}

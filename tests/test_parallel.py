@@ -116,3 +116,53 @@ class TestMultiPairTraining:
         assert first.shape == (4,) and np.all(np.isfinite(first))
         assert np.all(last < first), (first, last)
         assert outs.shape == (4, 64, 64, 3)
+
+    def test_train_pairs_host_loop_parity(self, tmp_path):
+        """Multi-pair loop writes per-pair metrics.jsonl + output.png,
+        checkpoints, and resumes — the single-pair loop's observability
+        contract (reference train.py:70-76 cadence, per pair)."""
+        import json
+        import pathlib
+        import shutil
+
+        from splice_tpu.config import load_config
+        from splice_tpu.parallel.pair_parallel import train_pairs
+
+        src = pathlib.Path("datasets/splicing/cows")
+        roots = []
+        for name in ("p0", "p1"):
+            root = tmp_path / name
+            shutil.copytree(src / "A", root / "A")
+            shutil.copytree(src / "B", root / "B")
+            roots.append(str(root))
+        ckdir = str(tmp_path / "ck")
+        base = dict(
+            A_resize=48, B_resize=48, seed=5, n_epochs=4,
+            entire_A_every=100, log_images_freq=2,
+            scheduler_policy="linear", scheduler_n_epochs_decay=8,
+            vit_compute_dtype="float32", use_pallas_attention=False,
+            remat_vit=False, dino_model_name="dino_vits8",
+            dino_global_patch_size=32, dino_global_max_size=64,
+            mesh_dp=2, mesh_tp=1, checkpoint_every=2, checkpoint_dir=ckdir)
+        cfg = load_config(None, base)
+        res = train_pairs(cfg, roots, image_hw=32, n_steps=4)
+        assert np.all(np.isfinite(res["losses"]["loss"]))
+        for root in roots:
+            out = pathlib.Path(root) / "out"
+            assert (out / "output.png").exists()
+            lines = [json.loads(l) for l in open(out / "metrics.jsonl")]
+            assert len(lines) >= 2
+            assert all("loss" in l and "lr" in l for l in lines)
+        # resume from the checkpoint and continue two more steps
+        cfg2 = load_config(None, {**base, "resume_from": ckdir,
+                                  "checkpoint_every": 0,
+                                  "checkpoint_dir": None})
+        res2 = train_pairs(cfg2, roots, image_hw=32, n_steps=6)
+        assert np.all(np.isfinite(res2["losses"]["loss"]))
+
+    def test_train_pairs_rejects_plateau(self, tmp_path):
+        from splice_tpu.config import load_config
+        from splice_tpu.parallel.pair_parallel import train_pairs
+        cfg = load_config(None, dict(scheduler_policy="plateau"))
+        with pytest.raises(ValueError, match="plateau"):
+            train_pairs(cfg, [str(tmp_path)], image_hw=32, n_steps=1)
