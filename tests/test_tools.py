@@ -162,6 +162,31 @@ class TestResume:
 
 
 class TestEvaluate:
+    def test_lpips_scaffold_with_alexnet_shaped_weights(self, tmp_path):
+        """LPIPS runs from an .npz in the documented format (AlexNet-shaped
+        random weights stand in for the real checkpoint, which zero-egress
+        forbids downloading): identity -> 0, distinct -> > 0, symmetric."""
+        from splice_tpu.tools.evaluate import lpips
+
+        rng = np.random.default_rng(0)
+        dims = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+                (256, 384, 3, 3), (256, 256, 3, 3)]
+        w = {}
+        for i, d in enumerate(dims, 1):
+            w[f"conv{i}_w"] = (rng.standard_normal(d) / np.sqrt(
+                np.prod(d[1:]))).astype(np.float32)
+            w[f"conv{i}_b"] = np.zeros(d[0], np.float32)
+            w[f"lin{i}_w"] = rng.random((1, d[0])).astype(np.float32)
+        path = str(tmp_path / "lpips.npz")
+        np.savez(path, **w)
+
+        a = rng.random((64, 64, 3))
+        b = rng.random((64, 64, 3))
+        assert lpips(a, a, path) == pytest.approx(0.0, abs=1e-6)
+        dab = lpips(a, b, path)
+        assert dab > 1e-4
+        assert lpips(b, a, path) == pytest.approx(dab, rel=1e-4)
+
     def test_psnr_identity_and_known_value(self):
         from splice_tpu.tools.evaluate import psnr
         rng = np.random.default_rng(0)
