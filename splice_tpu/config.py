@@ -127,7 +127,7 @@ class Config:
         assert self.vit_compute_dtype in ("bfloat16", "float32")
         assert self.generator_compute_dtype in ("bfloat16", "float32")
         assert self.generator_layout in ("chw", "nhwc")
-        assert self.generator_conv in ("pallas", "xla", "auto")
+        assert self.generator_conv in ("pallas", "xla", "auto", "fused")
         assert self.global_A_crops_n_crops >= 1 and self.global_B_crops_n_crops >= 1
         assert 0.0 < self.global_A_crops_min_cover <= 1.0
         assert 0.0 < self.global_B_crops_min_cover <= 1.0

@@ -232,6 +232,9 @@ def concat_crop(xs: Sequence[jax.Array]) -> jax.Array:
 # ---------------------------------------------------------------------------
 # CHW layout path (TPU-fast)
 # ---------------------------------------------------------------------------
+# Tests set this to exercise the fused-kernel (interpret-mode) path on CPU;
+# production CPU runs keep the XLA formulation.
+FORCE_FUSED_KERNELS_ON_CPU = False
 # The generator's channel counts (3..128) are tiny next to the TPU's
 # 128-lane registers: in NHWC, XLA keeps C in the lane dimension and pads it
 # to 128, wasting up to 8x of HBM traffic and littering the graph with
@@ -298,22 +301,138 @@ def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
     return out
 
 
-def batch_norm_chw(x: jax.Array, p: Dict[str, jax.Array],
-                   eps: float = 1e-5) -> jax.Array:
-    """batch_norm for [B, C, H, W] (same math; stats over B, H, W).
-
-    Single-pass stats: mean and E[x^2] reduce together in fp32, so the
-    activation is read once for statistics instead of twice (the
-    deviation-form second pass re-read the full-res tensor; at 896px that
-    is ~100 MB per BN). E[x^2]-m^2 in fp32 on O(1) activations loses no
-    precision that matters (bf16 inputs carry ~3 decimal digits)."""
+def bn_affine_chw(x: jax.Array, p: Dict[str, jax.Array],
+                  eps: float = 1e-5) -> Tuple[jax.Array, jax.Array]:
+    """Train-mode BN as per-channel (scale, shift) fp32 vectors for
+    [B, C, H, W]: y = x*scale + shift. Single-pass stats: mean and E[x^2]
+    reduce together in fp32, so the activation is read once for
+    statistics instead of twice. E[x^2]-m^2 in fp32 on O(1) activations
+    loses no precision that matters (bf16 inputs carry ~3 decimal
+    digits)."""
     mean = jnp.mean(x, axis=(0, 2, 3), dtype=jnp.float32)
     ex2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(0, 2, 3))
     var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
     shift = p["bias"].astype(jnp.float32) - mean * inv
+    return inv, shift
+
+
+def batch_norm_chw(x: jax.Array, p: Dict[str, jax.Array],
+                   eps: float = 1e-5) -> jax.Array:
+    """batch_norm for [B, C, H, W] (same math; stats over B, H, W)."""
+    inv, shift = bn_affine_chw(x, p, eps)
     return x * inv.astype(x.dtype)[:, None, None] \
         + shift.astype(x.dtype)[:, None, None]
+
+
+def _skip_apply_chw_fused(params: Dict[str, Any], cfg: SkipConfig,
+                          x_nhwc: jax.Array, compute_dtype=None
+                          ) -> jax.Array:
+    """skip_apply with deferred BatchNorm: every conv consumes its
+    producer's RAW output plus the BN (scale, shift) vectors, applying
+    normalize+activate inside the Pallas conv kernel's input prologue
+    (ops/conv_pallas.py pallas_conv_bn_act_chw). The normalized tensor is
+    never written to HBM, and 1x1/stride-2 sites route through the kernel
+    without breaking XLA elementwise fusion (the fusion-breakage penalty
+    that kept them on XLA dots). BN statistics still read the raw tensor
+    once (XLA reduction); numerics match act(batch_norm(conv(x))) to
+    rounding (prologue computes the affine in fp32).
+
+    Requires act_fun LeakyReLU/none and downsample_mode 'stride'
+    (callers gate)."""
+    from splice_tpu.ops.conv_pallas import (pallas_conv_bn_act_chw,
+                                            pallas_conv_chw)
+
+    negslope = {"LeakyReLU": 0.2, "none": 1.0}[cfg.act_fun]
+    on_tpu = jax.default_backend() != "cpu" or FORCE_FUSED_KERNELS_ON_CPU
+
+    def fuse_worthwhile(x, stride):
+        """Route through the fused Pallas kernel only where the kernel's
+        operating width is large (>= 448 lanes; stride 2 halves it via
+        space-to-depth): at small widths the per-tile kernel overhead
+        loses to XLA's fused dots (measured e2e: all-Pallas 21.9 steps/s
+        vs hybrid; same shape of result as the round-1 auto heuristic)."""
+        hw = x.shape[3] // (2 if stride == 2 else 1)
+        return on_tpu and (hw >= 448 or FORCE_FUSED_KERNELS_ON_CPU)
+
+    def conv_plain(x, p, stride):
+        if on_tpu and stride == 1 and p["kernel"].shape[0] >= 3 \
+                and x.shape[3] >= 448 and x.shape[1] > 16:
+            return pallas_conv_chw(x, p, stride, cfg.pad)
+        return conv2d_chw(x, p, stride, cfg.pad)
+
+    def conv_from(src, p, stride):
+        """src: raw tensor, or (raw, scale, shift) pending BN+act."""
+        if isinstance(src, tuple):
+            raw, sc, sh = src
+            if fuse_worthwhile(raw, stride):
+                return pallas_conv_bn_act_chw(raw, p, sc, sh, stride,
+                                              cfg.pad, negslope)
+            return conv_plain(materialize(src), p, stride)
+        return conv_plain(src, p, stride)
+
+    def materialize(src):
+        if not isinstance(src, tuple):
+            return src
+        raw, sc, sh = src
+        y = raw * sc.astype(raw.dtype)[:, None, None] \
+            + sh.astype(raw.dtype)[:, None, None]
+        return act(y, cfg.act_fun)
+
+    def pend(raw, bn_p):
+        sc, sh = bn_affine_chw(raw, bn_p)
+        return (raw, sc, sh)
+
+    x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    n = cfg.n_scales
+
+    def scale_fn(i: int, xin):
+        """xin: raw tensor or pending; returns a PENDING (raw, sc, sh)."""
+        sp = params["scales"][i]
+        branches = []
+        if cfg.channels_skip[i]:
+            s_raw = conv_from(xin, sp["skip_conv"], 1)
+            branches.append(materialize(pend(s_raw, sp["skip_bn"])))
+        d1 = pend(conv_from(xin, sp["down_conv1"], 2), sp["down_bn1"])
+        d2 = pend(conv_from(d1, sp["down_conv2"], 1), sp["down_bn2"])
+        inner = materialize(scale_fn(i + 1, d2)) if i < n - 1 \
+            else materialize(d2)
+        b, c, h, w = inner.shape
+        method = {"bilinear": "bilinear", "nearest": "nearest"}[
+            cfg.upsample_mode]
+        u = jax.image.resize(inner, (b, c, 2 * h, 2 * w), method=method)
+        branches.append(u)
+        th = min(t.shape[2] for t in branches)
+        tw = min(t.shape[3] for t in branches)
+        branches = [t[:, :, (t.shape[2] - th) // 2:(t.shape[2] - th) // 2
+                      + th, (t.shape[3] - tw) // 2:(t.shape[3] - tw) // 2
+                      + tw] for t in branches]
+        y = jnp.concatenate(branches, axis=1)
+        # post_bn (reference skip.py:56) has NO activation: affine-only
+        # prologue (negslope 1.0) into the up conv.
+        pb_sc, pb_sh = bn_affine_chw(y, sp["post_bn"])
+        if fuse_worthwhile(y, 1):
+            y1 = pallas_conv_bn_act_chw(y, sp["up_conv"], pb_sc, pb_sh, 1,
+                                        cfg.pad, 1.0)
+        else:
+            ym = y * pb_sc.astype(y.dtype)[:, None, None] \
+                + pb_sh.astype(y.dtype)[:, None, None]
+            y1 = conv_plain(ym, sp["up_conv"], 1)
+        y1p = pend(y1, sp["up_bn"])
+        if not cfg.need1x1_up:
+            return y1p
+        y2 = conv_from(y1p, sp["up1x1_conv"], 1)
+        return pend(y2, sp["up1x1_bn"])
+
+    y_pend = scale_fn(0, x)
+    y = conv_from(y_pend, params["out_conv"], 1).astype(jnp.float32)
+    if cfg.need_sigmoid:
+        y = jax.nn.sigmoid(y)
+    elif cfg.need_tanh:
+        y = jnp.tanh(y)
+    return jnp.transpose(y, (0, 2, 3, 1))
 
 
 def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
@@ -323,13 +442,17 @@ def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
 
     conv_impl: "pallas" routes convs through the fused TPU kernel
     (splice_tpu/ops/conv_pallas.py); "xla" uses the shifted-dot
-    formulation above.
+    formulation above; "fused" additionally defers every BatchNorm apply
+    + activation into the consumer conv's in-kernel prologue
+    (_skip_apply_chw_fused).
 
     Supports the training path (downsample_mode='stride', zero/reflection
     pad); other downsamplers fall back to the NHWC path.
     """
     if cfg.downsample_mode != "stride":
         return skip_apply(params, cfg, x_nhwc, compute_dtype)
+    if conv_impl == "fused" and cfg.act_fun in ("LeakyReLU", "none"):
+        return _skip_apply_chw_fused(params, cfg, x_nhwc, compute_dtype)
     if conv_impl in ("pallas", "auto") and jax.default_backend() != "cpu":
         # On CPU the kernel would run in (slow) interpret mode; the XLA
         # shifted-dot formulation is the right backend there.

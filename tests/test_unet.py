@@ -253,3 +253,55 @@ class TestChwLayout:
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-3, rtol=5e-2)
+
+    @pytest.fixture()
+    def force_fused_kernels(self):
+        """Exercise the fused interpret-mode kernels on CPU (the size
+        gate would otherwise route everything to the XLA fallback)."""
+        unet.FORCE_FUSED_KERNELS_ON_CPU = True
+        yield
+        unet.FORCE_FUSED_KERNELS_ON_CPU = False
+
+    def test_fused_deferred_bn_matches_nhwc(self, force_fused_kernels):
+        """conv_impl='fused' (BN apply + act in the conv kernels'
+        prologue) must match the NHWC reference path, including the
+        zero-pad borders (padded with the prologue's pre-image of 0)."""
+        cfg = unet.SkipConfig()
+        params = unet.init_skip_params(jax.random.PRNGKey(3), cfg)
+        x = jnp.asarray(np.random.default_rng(13).random((2, 64, 96, 3)),
+                        jnp.float32)
+        a = unet.skip_apply(params, cfg, x)
+        b = unet.skip_apply_chw(params, cfg, x, conv_impl="fused")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-2)
+
+    def test_fused_grads_match(self, force_fused_kernels):
+        cfg = unet.SkipConfig()
+        params = unet.init_skip_params(jax.random.PRNGKey(4), cfg)
+        x = jnp.asarray(np.random.default_rng(14).random((1, 32, 32, 3)),
+                        jnp.float32)
+        g1 = jax.grad(lambda p: jnp.sum(unet.skip_apply(p, cfg, x) ** 2))(
+            params)
+        g2 = jax.grad(lambda p: jnp.sum(unet.skip_apply_chw(
+            p, cfg, x, conv_impl="fused") ** 2))(params)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g1),
+                jax.tree_util.tree_leaves_with_path(g2)):
+            a, b = np.asarray(a), np.asarray(b)
+            # atol scales with the leaf's magnitude: the packed dw dot
+            # sums taps in one fp32 contraction (different order than the
+            # XLA per-tap sums), so near-zero components carry
+            # reduction-order noise proportional to the large ones.
+            np.testing.assert_allclose(
+                a, b, atol=5e-3 + 1e-3 * np.abs(a).max(), rtol=5e-2,
+                err_msg=jax.tree_util.keystr(ka))
+
+    def test_fused_reflection_pad_matches(self, force_fused_kernels):
+        cfg = unet.SkipConfig(pad="reflection")
+        params = unet.init_skip_params(jax.random.PRNGKey(6), cfg)
+        x = jnp.asarray(np.random.default_rng(15).random((1, 32, 32, 3)),
+                        jnp.float32)
+        a = unet.skip_apply(params, cfg, x)
+        b = unet.skip_apply_chw(params, cfg, x, conv_impl="fused")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-2)
