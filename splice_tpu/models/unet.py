@@ -469,7 +469,9 @@ def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
                 sites, but routing those regressed the full train step
                 (custom-calls break XLA's BN/act fusion around the dots),
                 so everything else stays on the XLA formulation; stride-2
-                always uses the reshape-phase dots."""
+                stays on the reshape-phase dots (re-measured with the
+                round-2 flat-slab kernels: routing hw>=448 stride-2 sites
+                through the s2d kernel regressed 24.1 -> 22.3 steps/s)."""
                 kh = p["kernel"].shape[0]
                 cin, hw = x.shape[1], x.shape[3]
                 if stride == 1 and kh >= 3 and hw >= 448 and cin > 16:
