@@ -198,8 +198,13 @@ def main():
         "regenerate with `python bench_configs.py`.",
         "",
         "The headline metric (config a) is what `bench.py` reports each "
-        "round; the measured torch-CPU reference baseline is in "
-        "`BASELINE_MEASURED.json`.",
+        "round. Its `vs_baseline` multiplier divides by the measured "
+        "**torch-CPU proxy** in `BASELINE_MEASURED.json` (the reference's "
+        "GPU loop cannot run here: zero egress blocks its torch.hub "
+        "backbone download, and there is no CUDA device) — so the "
+        "multiplier compares TPU to CPU, not same-hardware "
+        "implementations. Quote absolute steps/s unless the CPU-proxy "
+        "caveat is stated alongside.",
         "",
         "| Config | Result | Notes |",
         "|---|---|---|",

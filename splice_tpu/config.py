@@ -112,6 +112,11 @@ class Config:
     # Video mode: treat dataroot/A as a frame directory; warm-start each
     # frame's generator from the previous frame (BASELINE.json config 4).
     video_mode: bool = False
+    # Warm video frames render/log once at frame end (intra-frame dumps'
+    # async d2h drains contend with the next frame's dispatch stream
+    # through a remote-TPU tunnel); set False to keep log_images_freq
+    # cadence inside every frame.
+    video_log_frames_only: bool = True
     # Profiling (new; the reference has no tracing at all, SURVEY.md §5):
     # capture a jax.profiler device trace of steps
     # [profile_start_step, profile_start_step + profile_n_steps).

@@ -95,10 +95,16 @@ def load_video_frames(cfg, dataroot: Optional[str] = None):
     frame; B is the single appearance image. Yields (frame_name, ImagePair)."""
     root = dataroot or cfg.dataroot
     b_np = load_image(first_image_in(os.path.join(root, "B")), cfg.B_resize)
+    # B is shared by every frame: upload it to the device ONCE (a fresh
+    # jnp.asarray per frame re-sent ~13 MB through the remote-TPU tunnel
+    # between frames).
+    b_dev = jnp.asarray(b_np)
+    cb = crop_canvas_size(b_np.shape[0], b_np.shape[1], cfg.crop_canvas)
     a_dir = os.path.join(root, "A")
     for name in sorted(os.listdir(a_dir)):
         a_np = load_image(os.path.join(a_dir, name), cfg.A_resize)
         ca = crop_canvas_size(a_np.shape[0], a_np.shape[1], cfg.crop_canvas)
-        cb = crop_canvas_size(b_np.shape[0], b_np.shape[1], cfg.crop_canvas)
-        yield name, ImagePair(A=jnp.asarray(a_np), B=jnp.asarray(b_np),
-                              canvas_A=ca, canvas_B=cb)
+        # Same canvas-unification as load_pair: equal crop canvases let the
+        # step batch the A/B generator passes in one vmapped call.
+        yield name, ImagePair(A=jnp.asarray(a_np), B=b_dev,
+                              canvas_A=min(ca, cb), canvas_B=min(ca, cb))

@@ -34,8 +34,7 @@ from splice_tpu.models import unet, vit as vit_lib
 from splice_tpu.models.weights import load_or_init_vit_params
 from splice_tpu.ops import image as img_ops
 from splice_tpu.utils.io import AsyncImageSaver
-from splice_tpu.utils.metrics import (MetricsLogger, StepTimer,
-                                      device_memory_stats)
+from splice_tpu.utils.metrics import MetricsLogger, StepTimer
 
 
 # ---------------------------------------------------------------------------
@@ -393,7 +392,9 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
                n_steps: Optional[int] = None,
                dataroot: Optional[str] = None,
                program: Optional[SpliceProgram] = None,
-               saver: Optional[AsyncImageSaver] = None) -> Dict[str, Any]:
+               saver: Optional[AsyncImageSaver] = None,
+               logger: Optional[MetricsLogger] = None,
+               want_output: bool = True) -> Dict[str, Any]:
     """Optimize one pair; returns {'state', 'losses', 'steps_per_sec',
     'output'}. `init_params` warm-starts the generator (video mode);
     passing `program` reuses an already-built/compiled step (video mode
@@ -435,8 +436,10 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
             print(f"resumed from {cfg.resume_from} at step {step0}")
 
     sched = Scheduler(cfg)
-    logger = MetricsLogger(cfg.metrics_path
-                           or f"{root}/out/metrics.jsonl")
+    own_logger = logger is None
+    if own_logger:
+        logger = MetricsLogger(cfg.metrics_path
+                               or f"{root}/out/metrics.jsonl")
     timer = StepTimer()
     ckpt = None
     if cfg.checkpoint_every and cfg.checkpoint_dir:
@@ -532,14 +535,14 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
             # uint8 on device; the saver thread does the (tunnel) d2h.
             out_u8 = program.render_u8(state["params"], pair.A)
             saver.save(out_u8, out_png)
-            last_losses = fetch_scalars(parts)
-            # memory_stats is a device RPC (a network roundtrip through a
-            # remote-TPU tunnel) — sample it every 10th log, not every log.
-            mem = device_memory_stats() \
-                if (step_idx // cfg.log_images_freq) % 10 == 0 else {}
-            logger.log(step_idx - 1, {**last_losses, "lr": lr,
-                                      "steps_per_sec": timer.rate(),
-                                      **mem})
+            # Scalar fetches + the memory-stats RPC happen in the metrics
+            # worker thread: on the train thread each was a blocking
+            # tunnel roundtrip per log boundary (video mode pays several
+            # boundaries per ~2s frame).
+            logger.log_async(
+                step_idx - 1, dict(parts),
+                {"lr": lr, "steps_per_sec": timer.rate()},
+                with_memory=(step_idx // cfg.log_images_freq) % 10 == 0)
             if callback is not None:
                 callback(out_u8)
         if ckpt is not None and step_idx % cfg.checkpoint_every == 0:
@@ -548,9 +551,15 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
     # already queued the final output.png (its log branch fires when
     # step_idx >= total_steps), so no synchronous save/transfer here —
     # the old blocking np.asarray + PNG write cost a full-image d2h
-    # through the tunnel per video frame.
-    out = program.render(state["params"], pair.A)
-    jax.block_until_ready(out)
+    # through the tunnel per video frame. Video mode skips the float
+    # render entirely (want_output=False): it only consumes output_u8 and
+    # the params, so a full-res fp32 render per frame is dead device work.
+    out = None
+    if want_output:
+        out = program.render(state["params"], pair.A)
+        jax.block_until_ready(out)
+    else:
+        jax.block_until_ready(state["params"])
     wall = time.perf_counter() - t_start
     if parts:
         # A run shorter than one log interval must still report its
@@ -563,7 +572,8 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
         saver.save(out_u8, out_png, must_write=True)
     if own_saver:
         saver.close()
-    logger.close()
+    if own_logger:
+        logger.close()
     return {"state": state, "losses": last_losses,
             "steps_per_sec": total_steps / wall, "output": out,
             "output_u8": out_u8, "wall_time": wall, "seed": seed}

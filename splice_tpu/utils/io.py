@@ -65,7 +65,10 @@ class AsyncImageSaver:
     Keeps at most one pending image per path (newer frames win)."""
 
     def __init__(self):
-        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        # Deep enough that several queued log-boundary frames never block
+        # the train loop (each drain is a multi-MB d2h through the tunnel;
+        # video mode hits 4+ saves per ~2s frame).
+        self._q: "queue.Queue" = queue.Queue(maxsize=16)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 

@@ -4,16 +4,27 @@ from __future__ import annotations
 
 import json
 import pathlib
+import queue
+import threading
 import time
 from typing import Any, Dict, Optional
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics writer with wall-clock timing."""
+    """Append-only JSONL metrics writer with wall-clock timing.
+
+    `log` converts values synchronously; `log_async` hands DEVICE arrays
+    to a worker thread, which performs the device-to-host scalar fetches
+    there — through a remote-TPU tunnel every blocking fetch on the train
+    thread is a network roundtrip, and at video-mode cadence (several log
+    boundaries per ~2s frame) those roundtrips were a measurable slice of
+    the frame wall time."""
 
     def __init__(self, path: Optional[str] = None):
         self.path = path
         self._fh = None
+        self._q: Optional["queue.Queue"] = None
+        self._thread = None
         if path:
             pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
             self._fh = open(path, "a", buffering=1)
@@ -30,7 +41,53 @@ class MetricsLogger:
                 rec[k] = v
         self._fh.write(json.dumps(rec) + "\n")
 
+    def log_async(self, step: int, device_data: Dict[str, Any],
+                  host_data: Optional[Dict[str, Any]] = None,
+                  with_memory: bool = False) -> None:
+        """Queue a record whose device-array values are fetched in the
+        worker thread (ordering with other log_async calls preserved)."""
+        if self._fh is None:
+            return
+        if self._thread is None:
+            self._q = queue.Queue(maxsize=64)
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+        host = {"t": round(time.perf_counter() - self.t0, 4),
+                **(host_data or {})}
+        try:
+            self._q.put_nowait((step, device_data, host, with_memory))
+        except queue.Full:
+            pass    # drop a metrics record rather than stall the loop
+
+    def _run(self):
+        import jax.numpy as jnp
+        import numpy as np
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            step, device_data, host_data, with_memory = item
+            try:
+                # ONE stacked transfer for the whole scalar record:
+                # per-key fetches would each be a tunnel roundtrip.
+                keys = list(device_data)
+                vals = np.asarray(jnp.stack(
+                    [jnp.asarray(device_data[k], jnp.float32)
+                     for k in keys]))
+                fetched = dict(zip(keys, vals))
+                mem = device_memory_stats() if with_memory else {}
+                self.log(step, {**fetched, **host_data, **mem})
+            except Exception:
+                pass
+            finally:
+                self._q.task_done()
+
     def close(self) -> None:
+        if self._thread is not None:
+            self._q.join()
+            self._q.put(None)
+            self._thread.join(timeout=10)
+            self._thread = None
         if self._fh is not None:
             self._fh.close()
             self._fh = None
