@@ -25,6 +25,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import ad_checkpoint
 
 from splice_tpu.ops import attention as attn_ops
 
@@ -268,6 +269,13 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
     if "ls2" in bp:
         h = h * bp["ls2"].astype(h.dtype)
     x = x + h
+    # Name the block output so the remat policy can save it: LN1-of-next-
+    # block's backward needs its input, and without a saved block output the
+    # whole block forward (incl. the attention kernel) re-runs in the
+    # backward just to rebuild it. Saving [B,N,D] per block (~4.6 MB bf16 at
+    # the training shapes) deletes that recompute; everything else the
+    # frozen-weights backward needs derives from policy-saved dot outputs.
+    x = ad_checkpoint.checkpoint_name(x, "vit_block_out")
     if "block" in want:
         taps["block"] = x
     return x, taps
@@ -331,7 +339,10 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
         # dropping the big intermediate activations.
         block_fn = jax.checkpoint(
             _block, static_argnums=(2, 3, 4, 5),
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names(
+                    "vit_block_out")))
 
     # Layers before the first tap are identical untapped blocks: run them as
     # ONE lax.scan over stacked params instead of unrolling. This cuts the
