@@ -498,7 +498,9 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
             state["opt_state"].hyperparams["learning_rate"] = jnp.asarray(
                 lr, jnp.float32)
         if cfg.profile_dir and step_idx == cfg.profile_start_step:
-            jax.profiler.start_trace(cfg.profile_dir)
+            from splice_tpu.utils.profiling import device_trace_options
+            jax.profiler.start_trace(
+                cfg.profile_dir, profiler_options=device_trace_options())
         if cfg.profile_dir and \
                 step_idx == cfg.profile_start_step + cfg.profile_n_steps:
             jax.tree.map(lambda x: x.block_until_ready(), state)
