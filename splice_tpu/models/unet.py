@@ -273,16 +273,17 @@ def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
         # (kh-1)//2 + Ho rows the deepest tap shift needs.
         x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp % 2), (0, Wp % 2)))
         xr = x.reshape(B, C, x.shape[2] // 2, 2, x.shape[3] // 2, 2)
-        phases = [[xr[:, :, :, py, :, px] for px in range(2)]
-                  for py in range(2)]
         # tap accumulation in the input dtype: each dot still accumulates
         # its own contraction in fp32 on the MXU, and bf16 intermediates
-        # halve the HBM traffic of the k*k-term sum.
+        # halve the HBM traffic of the k*k-term sum. Taps slice the 6-D
+        # reshape directly (no materialized per-phase arrays: the four
+        # [B,C,H/2,W/2] phase copies were ~0.5 ms of relayout each at the
+        # 896px sites, and their backward scatter-adds as much again).
         out = None
         for dy in range(kh):
             for dx in range(kw):
-                ph = phases[dy % 2][dx % 2]
-                sl = ph[:, :, dy // 2:dy // 2 + Ho, dx // 2:dx // 2 + Wo]
+                sl = xr[:, :, dy // 2:dy // 2 + Ho, dy % 2,
+                        dx // 2:dx // 2 + Wo, dx % 2]
                 t = jnp.einsum("io,bihw->bohw", w[dy, dx].astype(x.dtype),
                                sl)
                 out = t if out is None else out + t
