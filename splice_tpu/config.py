@@ -123,6 +123,10 @@ class Config:
     profile_dir: Optional[str] = None
     profile_start_step: int = 20
     profile_n_steps: int = 5
+    # Persistent XLA compile cache. Each step-class/shape variant costs a
+    # multi-minute TPU compile; the cache makes repeat CLI runs (and the
+    # every-run tiny programs like render/init) near-instant. "" disables.
+    compile_cache_dir: Optional[str] = "~/.cache/splice_tpu/xla"
 
     def validate(self) -> "Config":
         assert self.direction in ("AtoB", "BtoA"), self.direction

@@ -291,6 +291,7 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
             "mode (needs per-pair host feedback); use "
             "linear/step/cosine/none")
 
+    trainer.setup_compile_cache(cfg)
     n_pairs = len(dataroots)
     if mesh is None:
         mesh = mesh_lib.make_mesh(dp=min(cfg.mesh_dp, n_pairs) or 1,

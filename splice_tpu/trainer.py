@@ -379,6 +379,26 @@ def make_extractor_from_config(cfg: Config,
         remat=cfg.remat_vit)
 
 
+def setup_compile_cache(cfg: Config) -> None:
+    """Enable the persistent XLA compile cache (idempotent, cheap to repeat).
+
+    Each step-class/shape variant otherwise costs a fresh multi-minute XLA
+    compile per process; with the cache, repeat CLI runs (and the small
+    every-run programs like render/init) reload compiled executables from
+    disk. cfg.compile_cache_dir="" disables."""
+    path = cfg.compile_cache_dir
+    if not path:
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return  # respect an explicit process-level setting (tests, bench)
+    import os
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def resolve_seed(cfg: Config) -> int:
     if cfg.seed == -1:
         return int(np.random.randint(2 ** 31 - 1))
@@ -404,6 +424,7 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
     rendered output as a uint8 HWC array in [0, 255] (rendered on device;
     do NOT multiply by 255 — reference train.py:70-76 callback parity but
     with the dtype already quantized)."""
+    setup_compile_cache(cfg)
     seed = resolve_seed(cfg)
     print(f"running with seed: {seed}.")
     root = dataroot or cfg.dataroot

@@ -56,6 +56,7 @@ def train_video(cfg: Config,
     """
     from splice_tpu import trainer  # local import: keep module load light
 
+    trainer.setup_compile_cache(cfg)
     first_steps = first_frame_steps or cfg.n_epochs
     warm_steps = warm_frame_steps or max(cfg.n_epochs // 10, 1)
     extractor = trainer.make_extractor_from_config(cfg)
