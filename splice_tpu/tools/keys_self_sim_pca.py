@@ -30,6 +30,9 @@ def visualize(image_path: str, save_path: str, layer: int = 11,
     import jax.numpy as jnp
     from PIL import Image
 
+    from splice_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     from splice_tpu.data import load_image
     from splice_tpu.models import extractor as ext_lib
     from splice_tpu.models.weights import load_or_init_vit_params

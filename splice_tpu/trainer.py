@@ -386,17 +386,8 @@ def setup_compile_cache(cfg: Config) -> None:
     compile per process; with the cache, repeat CLI runs (and the small
     every-run programs like render/init) reload compiled executables from
     disk. cfg.compile_cache_dir="" disables."""
-    path = cfg.compile_cache_dir
-    if not path:
-        return
-    if jax.config.jax_compilation_cache_dir:
-        return  # respect an explicit process-level setting (tests, bench)
-    import os
-    path = os.path.expanduser(path)
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from splice_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(cfg.compile_cache_dir)
 
 
 def resolve_seed(cfg: Config) -> int:
