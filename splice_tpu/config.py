@@ -99,11 +99,13 @@ class Config:
     resume_from: Optional[str] = None
     # Metrics JSONL path (None → <dataroot>/out/metrics.jsonl).
     metrics_path: Optional[str] = None
-    # Remat the ViT blocks (trade FLOPs for HBM). Off by default: at 224px
-    # loss resolution the activations are ~hundreds of MB and the remat
-    # recompute costs ~25% of the ViT backward. Enable for 480px+ losses or
-    # ViT-L backbones.
-    remat_vit: bool = False
+    # Remat the ViT blocks under a save-the-matmuls policy (the expensive
+    # intermediates are kept, elementwise/LN recompute; models/vit.py:335).
+    # ON by default: every published benchmark runs this way, and at the
+    # default full-res workload (896px crop canvas) the non-remat program
+    # blows XLA compile past 10 minutes. Turn off only for small canvases
+    # where compile memory is not a concern.
+    remat_vit: bool = True
     # Multi-pair scale-out: optimize `n_pairs` independent image pairs inside
     # one compiled step, sharded over the `dp` mesh axis (SURVEY.md §5).
     n_pairs: int = 1
