@@ -294,8 +294,23 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
     trainer.setup_compile_cache(cfg)
     n_pairs = len(dataroots)
     if mesh is None:
-        mesh = mesh_lib.make_mesh(dp=min(cfg.mesh_dp, n_pairs) or 1,
-                                  tp=cfg.mesh_tp or 1)
+        # Clamp the requested mesh to what this process can actually see:
+        # a config written for a v5e-8 slice should still run (un-sharded)
+        # on a single chip or in CPU tests rather than erroring.
+        n_dev = len(jax.devices())
+        dp = min(cfg.mesh_dp, n_pairs) or 1
+        tp = cfg.mesh_tp or 1
+        if tp > n_dev:
+            print(f"mesh tp={tp} exceeds {n_dev} visible device(s); "
+                  f"running tp=1")
+            tp = 1
+        if dp * tp > n_dev:
+            dp_clamped = max(n_dev // tp, 1)
+            print(f"mesh dp={dp} tp={tp} needs {dp * tp} devices, have "
+                  f"{n_dev}; clamping dp to {dp_clamped} (pairs still "
+                  f"optimize together in one compiled step)")
+            dp = dp_clamped
+        mesh = mesh_lib.make_mesh(dp=dp, tp=tp)
     extractor = trainer.make_extractor_from_config(cfg)
     extractor = dataclasses.replace(
         extractor,

@@ -160,6 +160,33 @@ class TestMultiPairTraining:
         res2 = train_pairs(cfg2, roots, image_hw=32, n_steps=6)
         assert np.all(np.isfinite(res2["losses"]["loss"]))
 
+    def test_train_pairs_clamps_oversized_mesh(self, tmp_path):
+        """A mesh config written for a bigger slice (dp*tp > visible
+        devices) degrades to what this process can see instead of
+        erroring — the quickstart example must run on one chip."""
+        import pathlib
+        import shutil
+
+        from splice_tpu.config import load_config
+        from splice_tpu.parallel.pair_parallel import train_pairs
+
+        src = pathlib.Path("datasets/splicing/cows")
+        roots = []
+        for name in ("c0", "c1"):
+            root = tmp_path / name
+            shutil.copytree(src / "A", root / "A")
+            shutil.copytree(src / "B", root / "B")
+            roots.append(str(root))
+        cfg = load_config(None, dict(
+            A_resize=48, B_resize=48, seed=5, n_epochs=2,
+            entire_A_every=100, log_images_freq=2,
+            vit_compute_dtype="float32", use_pallas_attention=False,
+            remat_vit=False, dino_model_name="dino_vits8",
+            dino_global_patch_size=32, dino_global_max_size=64,
+            mesh_dp=64, mesh_tp=16))
+        res = train_pairs(cfg, roots, image_hw=32, n_steps=2)
+        assert np.all(np.isfinite(res["losses"]["loss"]))
+
     def test_train_pairs_rejects_plateau(self, tmp_path):
         from splice_tpu.config import load_config
         from splice_tpu.parallel.pair_parallel import train_pairs
