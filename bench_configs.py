@@ -217,7 +217,16 @@ def main():
         lines.append(f"| {r['config']} | {val} {r['unit']} | "
                      f"{r['detail']} |")
     lines.append("")
-    (REPO / "BENCHMARKS.md").write_text("\n".join(lines))
+    # Preserve hand-maintained sections (e.g. "## Tools") below the
+    # regenerated config table.
+    md_path = REPO / "BENCHMARKS.md"
+    extra = ""
+    if md_path.exists():
+        old = md_path.read_text()
+        idx = old.find("\n## ")
+        if idx != -1:
+            extra = old[idx:]
+    md_path.write_text("\n".join(lines) + extra)
 
 
 if __name__ == "__main__":
