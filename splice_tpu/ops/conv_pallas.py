@@ -462,12 +462,19 @@ def pallas_conv_bn_act_chw(x: jax.Array, p: dict, scale: jax.Array,
             # tensor), not prologue(0) = leaky(shift): pad with the
             # prologue's pre-image of zero, v = -shift/scale, so the
             # kernel's in-VMEM prologue maps the border to exactly 0.
+            # Write v onto the border only (zero-pad + masked add) — the
+            # earlier (x - v) + v round-trip quantized every INTERIOR
+            # element in the compute dtype, which corrupts bf16 activations
+            # whenever training drives |shift/scale| large.
             s = scale.astype(jnp.float32)
             v = -shift.astype(jnp.float32) / jnp.where(
                 jnp.abs(s) < 1e-12, 1e-12, s)
             vb = v.astype(x.dtype)[None, :, None, None]
-            x = jnp.pad(x - vb, ((0, 0), (0, 0), (to_pad, to_pad),
-                                 (to_pad, to_pad))) + vb
+            border = jnp.pad(
+                jnp.zeros(x.shape[2:], x.dtype),
+                ((to_pad, to_pad), (to_pad, to_pad)), constant_values=1)
+            x = jnp.pad(x, ((0, 0), (0, 0), (to_pad, to_pad),
+                            (to_pad, to_pad))) + vb * border
     if stride == 1:
         out = conv_pro_valid_chw(x, w, scale, shift, k, negslope)
     elif stride == 2:

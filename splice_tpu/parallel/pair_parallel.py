@@ -259,12 +259,10 @@ def load_pair_batch(cfg: Config, dataroots: Sequence[str],
 
 
 def _fetch_parts_matrix(parts):
-    """One stacked d2h for the whole [n_losses, P] scalar block (per-key
-    fetches would each be a tunnel roundtrip)."""
-    keys = [k for k in parts]
-    mat = np.asarray(jnp.stack([jnp.asarray(parts[k], jnp.float32)
-                                for k in keys]))
-    return keys, mat
+    """One stacked d2h for the whole [n_losses, P] scalar block (see
+    utils.metrics.fetch_stacked)."""
+    from splice_tpu.utils.metrics import fetch_stacked
+    return fetch_stacked(parts)
 
 
 def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,

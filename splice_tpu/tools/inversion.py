@@ -142,6 +142,7 @@ def invert(image_path: str, save_path: str, feature: str = "cls",
 
     render_u8 = jax.jit(
         lambda p, n0, k, m: img_ops.tensor2im(render(p, n0, k, m)))
+    to_u8 = jax.jit(img_ops.tensor2im)  # elementwise; reuses a render
 
     saver = AsyncImageSaver()
     t0 = time.perf_counter()
@@ -165,10 +166,15 @@ def invert(image_path: str, save_path: str, feature: str = "cls",
             mag = noise_mag_at(jnp.int32(last))
             # uint8 on device + the d2h in the saver thread: the dispatch
             # loop never blocks on the image transfer.
-            saver.save(render_u8(params, base_noise, sk, mag), save_path)
-            if callback is not None:
-                callback(last, float(loss),
-                         render(params, base_noise, sk, mag))
+            if callback is None:
+                saver.save(render_u8(params, base_noise, sk, mag),
+                           save_path)
+            else:
+                # One full render serves both consumers (the u8 convert
+                # is elementwise, not a second generator+noise forward).
+                img = render(params, base_noise, sk, mag)
+                saver.save(to_u8(img), save_path)
+                callback(last, float(loss), img)
     out = render(params, base_noise, jax.random.fold_in(k_steps, n_iter),
                  jnp.float32(0.0))
     saver.close()

@@ -34,6 +34,7 @@ from splice_tpu.models import unet, vit as vit_lib
 from splice_tpu.models.weights import load_or_init_vit_params
 from splice_tpu.ops import image as img_ops
 from splice_tpu.utils.io import AsyncImageSaver
+from splice_tpu.utils import metrics as metrics_lib
 from splice_tpu.utils.metrics import MetricsLogger, StepTimer
 
 
@@ -57,6 +58,11 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     else:
         raise ValueError(cfg.optimizer)
     return tx
+
+
+# torch ReduceLROnPlateau default patience; shared with train_pair's
+# plateau chunk cap so the two stay in sync.
+PLATEAU_PATIENCE = 5
 
 
 class Scheduler:
@@ -85,7 +91,7 @@ class Scheduler:
             self._bad_epochs = 0
         else:
             self._bad_epochs += 1
-            if self._bad_epochs > 5:
+            if self._bad_epochs > PLATEAU_PATIENCE:
                 self._plateau_factor *= 0.2
                 self._bad_epochs = 0
 
@@ -159,12 +165,9 @@ class SpliceProgram:
 
 
 def fetch_scalars(parts: Dict[str, Any]) -> Dict[str, float]:
-    """One device-to-host transfer for a dict of device scalars: through a
-    remote-TPU tunnel every blocking fetch is a network roundtrip, so six
-    per-key float() calls cost ~6x this."""
-    keys = list(parts)
-    vals = np.asarray(jnp.stack([jnp.asarray(parts[k], jnp.float32)
-                                 for k in keys]))
+    """One device-to-host transfer for a dict of device scalars (see
+    utils.metrics.fetch_stacked for the tunnel-roundtrip rationale)."""
+    keys, vals = metrics_lib.fetch_stacked(parts)
     return {k: float(v) for k, v in zip(keys, vals)}
 
 
@@ -495,7 +498,7 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
             # dispatch — cap chunks at patience+1 so the cut lands within
             # one patience window. linear/step/cosine compute lr inside the
             # scanned step (device_lr_fn) and keep full-length chunks.
-            cands.append(i + 6)
+            cands.append(i + PLATEAU_PATIENCE + 1)
         return min(c for c in cands if c > i)
 
     t_start = time.perf_counter()
@@ -547,15 +550,21 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
 
         if step_idx % cfg.log_images_freq == 0 or step_idx >= total_steps:
             # uint8 on device; the saver thread does the (tunnel) d2h.
+            # Intermediate frames may drop under queue pressure (a newer
+            # one lands shortly); the FINAL output.png must not.
             out_u8 = program.render_u8(state["params"], pair.A)
-            saver.save(out_u8, out_png)
+            saver.save(out_u8, out_png, must_write=step_idx >= total_steps)
             # Scalar fetches + the memory-stats RPC happen in the metrics
             # worker thread: on the train thread each was a blocking
             # tunnel roundtrip per log boundary (video mode pays several
             # boundaries per ~2s frame).
             logger.log_async(
                 step_idx - 1, dict(parts),
-                {"lr": lr, "steps_per_sec": timer.rate()},
+                # lr as of the chunk's LAST step (the record's step label);
+                # the pre-chunk value can be log_images_freq decay steps
+                # stale under linear/step/cosine.
+                {"lr": sched.lr_for_step(step_idx - 1),
+                 "steps_per_sec": timer.rate()},
                 with_memory=(step_idx // cfg.log_images_freq) % 10 == 0)
             if callback is not None:
                 callback(out_u8)
@@ -588,8 +597,12 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
         saver.close()
     if own_logger:
         logger.close()
+    # Rate over the steps THIS call executed (a resumed run did fewer
+    # than total_steps; same fix as train_pairs).
+    done_steps = total_steps - (start_epoch - 1)
     return {"state": state, "losses": last_losses,
-            "steps_per_sec": total_steps / wall, "output": out,
+            "steps_per_sec": done_steps / wall if done_steps > 0 else 0.0,
+            "output": out,
             "output_u8": out_u8, "wall_time": wall, "seed": seed}
 
 

@@ -62,7 +62,11 @@ def save_result(image_hwc01, dataroot: str,
 
 class AsyncImageSaver:
     """Background-thread PNG writer so the train loop never blocks on IO.
-    Keeps at most one pending image per path (newer frames win)."""
+
+    Bounded queue; when it is full, save() DROPS the new frame (a newer
+    render of the same path lands at the next log boundary). Frames that
+    must not be lost — final outputs, unique per-frame video artifacts —
+    pass must_write=True, which blocks until queued instead."""
 
     def __init__(self):
         # Deep enough that several queued log-boundary frames never block

@@ -10,6 +10,19 @@ import time
 from typing import Any, Dict, Optional
 
 
+def fetch_stacked(device_data: Dict[str, Any]):
+    """ONE stacked device-to-host transfer for a dict of device scalars
+    (or equal-shape vectors): through a remote-TPU tunnel every blocking
+    fetch is a network roundtrip, so per-key fetches cost len(dict) of
+    them. Returns (keys, float32 ndarray stacked along axis 0)."""
+    import jax.numpy as jnp
+    import numpy as np
+    keys = list(device_data)
+    vals = np.asarray(jnp.stack([jnp.asarray(device_data[k], jnp.float32)
+                                 for k in keys]))
+    return keys, vals
+
+
 class MetricsLogger:
     """Append-only JSONL metrics writer with wall-clock timing.
 
@@ -60,20 +73,13 @@ class MetricsLogger:
             pass    # drop a metrics record rather than stall the loop
 
     def _run(self):
-        import jax.numpy as jnp
-        import numpy as np
         while True:
             item = self._q.get()
             if item is None:
                 return
             step, device_data, host_data, with_memory = item
             try:
-                # ONE stacked transfer for the whole scalar record:
-                # per-key fetches would each be a tunnel roundtrip.
-                keys = list(device_data)
-                vals = np.asarray(jnp.stack(
-                    [jnp.asarray(device_data[k], jnp.float32)
-                     for k in keys]))
+                keys, vals = fetch_stacked(device_data)
                 fetched = dict(zip(keys, vals))
                 mem = device_memory_stats() if with_memory else {}
                 self.log(step, {**fetched, **host_data, **mem})

@@ -110,3 +110,41 @@ class TestGradients:
         np.testing.assert_allclose(np.asarray(g[0]["kernel"]),
                                    np.asarray(g_ref[0]["kernel"]),
                                    atol=2e-2, rtol=2e-3)
+
+
+class TestFusedProloguePadding:
+    def test_pad_preimage_touches_border_only(self, monkeypatch):
+        """Regression: the zero-pad pre-image v = -shift/scale must be
+        written onto the BORDER only. The old (x - v) + v construction
+        round-tripped every interior element through x ± v in the compute
+        dtype, quantizing bf16 activations whenever |v| >> |x|."""
+        rng = np.random.default_rng(77)
+        cin, k = 4, 3
+        x = jnp.asarray(rng.random((1, cin, 12, 12)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, k, cin, cin)) * 0.1,
+                        jnp.bfloat16)
+        scale = jnp.full((cin,), 0.01, jnp.float32)
+        shift = jnp.full((cin,), 5.0, jnp.float32)   # v = -500
+        captured = {}
+
+        def fake_kernel(xp, w_, scale_, shift_, k_, negslope_):
+            captured["xp"] = xp
+            return jnp.zeros((xp.shape[0], w_.shape[-1],
+                              xp.shape[2] - k_ + 1, xp.shape[3] - k_ + 1),
+                             xp.dtype)
+
+        monkeypatch.setattr(cp, "conv_pro_valid_chw", fake_kernel)
+        cp.pallas_conv_bn_act_chw(x, {"kernel": w}, scale, shift,
+                                  stride=1, pad="zero", negslope=0.2)
+        xp = np.asarray(captured["xp"], np.float32)
+        # interior: bitwise-identical to the input (no v round-trip)
+        np.testing.assert_array_equal(xp[:, :, 1:-1, 1:-1],
+                                      np.asarray(x, np.float32))
+        # border: the prologue pre-image of zero, v = -shift/scale
+        v = np.asarray(-shift / scale, np.float32)
+        v_b = np.asarray(jnp.asarray(v, jnp.bfloat16), np.float32)
+        for c in range(cin):
+            assert np.all(xp[0, c, 0, :] == v_b[c])
+            assert np.all(xp[0, c, -1, :] == v_b[c])
+            assert np.all(xp[0, c, :, 0] == v_b[c])
+            assert np.all(xp[0, c, :, -1] == v_b[c])

@@ -134,6 +134,12 @@ class TestResume:
                                   "checkpoint_dir": None})
         res = trainer.train_pair(cfg2, n_steps=4)
         assert np.isfinite(res["losses"]["loss"])
+        # A resume that is ALREADY complete runs zero steps: it must
+        # still produce the output artifact and report a zero rate (the
+        # old code divided total_steps by a near-zero wall time).
+        res0 = trainer.train_pair(cfg2, n_steps=2)
+        assert res0["steps_per_sec"] == 0.0
+        assert res0["output_u8"] is not None
 
     def test_npz_fallback_name_keyed_restore(self, tmp_path):
         """The npz fallback must restore by leaf NAME, so a reordered (or
