@@ -370,15 +370,17 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
             cands.append(k * cfg.checkpoint_every)
         return min(c for c in cands if c > i)
 
-    def log_boundary(step_idx: int) -> None:
+    def log_boundary(step_idx: int, final: bool = False) -> None:
         outs_u8 = program.render_u8(states["params"], As)
         keys, mat = _fetch_parts_matrix(parts)
         lr = sched.lr_for_step(step_idx - 1)
         rate = timer.rate()
         outs_host = np.asarray(outs_u8)   # one [P,H,W,3] u8 transfer
         for p, root in enumerate(dataroots):
+            # the FINAL output.png must not drop under queue pressure
             saver.save(outs_host[p],
-                       os.path.join(root, "out", "output.png"))
+                       os.path.join(root, "out", "output.png"),
+                       must_write=final)
             loggers[p].log(step_idx - 1,
                            {**{k: float(mat[j, p])
                                for j, k in enumerate(keys)},
@@ -401,11 +403,19 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
             if parts is not None:
                 parts.pop("loss_seq", None)
             if step_idx % cfg.log_images_freq == 0 or step_idx >= total:
-                log_boundary(step_idx)
+                log_boundary(step_idx, final=step_idx >= total)
             if ckpt is not None and step_idx % cfg.checkpoint_every == 0:
                 ckpt.save(step_idx, states)
         outs = program.render(states["params"], As)
         outs.block_until_ready()
+        if parts is None:
+            # Zero-step run (resume already complete): still produce the
+            # per-pair output artifacts (single-pair loop parity).
+            outs_host = np.asarray(program.render_u8(states["params"], As))
+            for p, root in enumerate(dataroots):
+                saver.save(outs_host[p],
+                           os.path.join(root, "out", "output.png"),
+                           must_write=True)
     wall = time.perf_counter() - t0
     if ckpt is not None:
         ckpt.wait()
