@@ -235,6 +235,16 @@ def concat_crop(xs: Sequence[jax.Array]) -> jax.Array:
 # Tests set this to exercise the fused-kernel (interpret-mode) path on CPU;
 # production CPU runs keep the XLA formulation.
 FORCE_FUSED_KERNELS_ON_CPU = False
+# Stride-2 phase-extraction formulation (perf experiment knob, numerics
+# identical — tested in test_unet.py): "slice" indexes the 6-D even-pad
+# reshape per tap; "major" materializes one phase-major relayout
+# [2,2,B,C,H/2,W/2] first so each tap is a contiguous slice. The 6-D
+# reshape at the 898px stem profiles at ~1.9 ms/step of pure relayout
+# (trace r2b) — "major" is the candidate fix, NOT yet measured e2e (the
+# TPU tunnel was down for the rest of round 2); bench with
+# /tmp-style driver: set unet.STRIDE2_PHASE_MODE = "major" before import
+# of the program, then run bench.py.
+STRIDE2_PHASE_MODE = "slice"
 # The generator's channel counts (3..128) are tiny next to the TPU's
 # 128-lane registers: in NHWC, XLA keeps C in the lane dimension and pads it
 # to 128, wasting up to 8x of HBM traffic and littering the graph with
@@ -279,11 +289,21 @@ def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
         # reshape directly (no materialized per-phase arrays: the four
         # [B,C,H/2,W/2] phase copies were ~0.5 ms of relayout each at the
         # 896px sites, and their backward scatter-adds as much again).
+        if STRIDE2_PHASE_MODE == "major":
+            # One materialized phase-major relayout; taps become contiguous
+            # slices of [2,2,B,C,H/2,W/2] (experiment: a single fused
+            # transpose vs per-tap 6-D slicing — XLA lays them out
+            # differently).
+            xr = jnp.moveaxis(xr, (3, 5), (0, 1))
         out = None
         for dy in range(kh):
             for dx in range(kw):
-                sl = xr[:, :, dy // 2:dy // 2 + Ho, dy % 2,
-                        dx // 2:dx // 2 + Wo, dx % 2]
+                if STRIDE2_PHASE_MODE == "major":
+                    sl = xr[dy % 2, dx % 2, :, :,
+                            dy // 2:dy // 2 + Ho, dx // 2:dx // 2 + Wo]
+                else:
+                    sl = xr[:, :, dy // 2:dy // 2 + Ho, dy % 2,
+                            dx // 2:dx // 2 + Wo, dx % 2]
                 t = jnp.einsum("io,bihw->bohw", w[dy, dx].astype(x.dtype),
                                sl)
                 out = t if out is None else out + t

@@ -305,3 +305,32 @@ class TestChwLayout:
         b = unet.skip_apply_chw(params, cfg, x, conv_impl="fused")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
                                    rtol=1e-2)
+
+
+class TestStride2PhaseModes:
+    @pytest.mark.parametrize("hw", [(20, 24), (15, 11), (17, 18)])
+    def test_major_matches_slice_fwd_bwd(self, hw):
+        """STRIDE2_PHASE_MODE='major' (one materialized phase-major
+        relayout) must be numerically identical to the default per-tap
+        6-D slicing, forward and backward."""
+        rng = np.random.default_rng(51)
+        x = jnp.asarray(rng.standard_normal((2, 5, *hw)), jnp.float32)
+        p = {"kernel": jnp.asarray(
+            rng.standard_normal((3, 3, 5, 7)), jnp.float32) * 0.1,
+            "bias": jnp.asarray(rng.standard_normal(7), jnp.float32)}
+
+        def run():
+            y = unet.conv2d_chw(x, p, stride=2)
+            g = jax.grad(lambda x: jnp.sum(
+                unet.conv2d_chw(x, p, stride=2) ** 2))(x)
+            return np.asarray(y), np.asarray(g)
+
+        assert unet.STRIDE2_PHASE_MODE == "slice"
+        ya, ga = run()
+        unet.STRIDE2_PHASE_MODE = "major"
+        try:
+            yb, gb = run()
+        finally:
+            unet.STRIDE2_PHASE_MODE = "slice"
+        np.testing.assert_allclose(ya, yb, atol=1e-6)
+        np.testing.assert_allclose(ga, gb, atol=1e-5)
