@@ -122,7 +122,29 @@ def bench_ours() -> float:
     return (BENCH_STEPS // CH) * CH / wall
 
 
+def probe_backend(timeout_s: int = 300) -> None:
+    """Fail FAST if the device backend cannot initialize.
+
+    When the remote-TPU tunnel is down, jax backend init HANGS
+    indefinitely instead of raising (measured >550 s), which would wedge
+    the whole benchmark process. Probe in a subprocess with a hard
+    timeout so an unreachable device becomes a clean nonzero exit."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        if proc.returncode == 0:
+            return
+        msg = proc.stderr.decode(errors="replace")[-500:]
+    except subprocess.TimeoutExpired:
+        msg = f"backend init did not complete within {timeout_s}s"
+    sys.stderr.write(f"bench.py: device backend unavailable: {msg}\n")
+    sys.exit(1)
+
+
 def main():
+    probe_backend()
     baseline = get_baseline()
     ours = bench_ours()
     base = baseline["baseline_steps_per_sec"]

@@ -167,6 +167,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--configs", default="abcde")
     args = ap.parse_args()
+    from bench import probe_backend
+    probe_backend()   # fail fast if the TPU tunnel is down (init hangs)
     dev = jax.devices()[0]
     results = []
     for name, fn in [("a", config_a), ("b", config_b), ("c", config_c),
