@@ -24,7 +24,7 @@ Per-crop reduction is SUM of per-crop MSEs, matching the reference's
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -113,11 +113,14 @@ def identity_loss(gen_keys: jax.Array, tgt_keys: jax.Array) -> jax.Array:
 # Fused hot path
 # ---------------------------------------------------------------------------
 
-def splice_losses_fused(extractor: ext.VitExtractor,
-                        gen_A: jax.Array, crops_A: jax.Array,
-                        gen_B: jax.Array, crops_B: jax.Array,
-                        ssim_layer: Optional[int] = None) -> Dict[str, jax.Array]:
+def splice_losses_fused(
+        extractor: ext.VitExtractor,
+        gen_A: jax.Array, crops_A: jax.Array,
+        gen_B: jax.Array, crops_B: jax.Array,
+        ssim_layer: Optional[int] = None,
+) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
     """All three global losses from ONE batched ViT forward.
+    Returns (losses dict, aux dict).
 
     Inputs are 224-resized, ImageNet-normalized NHWC batches of identical
     spatial shape: gen_A = G(A crops) [n,h,w,3], crops_A = the A crops
@@ -245,8 +248,14 @@ class LossG:
         return structure_loss(g, t)
 
     def calculate_crop_cls_loss(self, outputs, inputs):
-        g = self.extractor.get_cls_token_from_input(self._transform(outputs))
-        t = self.extractor.get_cls_token_from_input(self._transform(inputs))
+        # reference losses.py:87 zips the two crop stacks — unequal
+        # counts truncate to the shorter one (the fused path does the
+        # same with nm = min(n, m)).
+        nm = min(outputs.shape[0], inputs.shape[0])
+        g = self.extractor.get_cls_token_from_input(
+            self._transform(outputs[:nm]))
+        t = self.extractor.get_cls_token_from_input(
+            self._transform(inputs[:nm]))
         return appearance_loss(g, t)
 
     def calculate_global_id_loss(self, outputs, inputs):

@@ -36,11 +36,11 @@ def attn_cosine_sim(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     return jnp.matmul(x, jnp.swapaxes(x, -1, -2), precision=hi) / factor
 
 
-def keys_from_qkv(qkv: jax.Array, num_heads: int) -> jax.Array:
-    """[..., N, 3D] -> keys [..., H, N, dh] (reference extractor.py:139-144).
+def qkv_split(qkv: jax.Array, num_heads: int) -> Tuple[jax.Array, ...]:
+    """[..., N, 3D] -> (q, k, v) each [..., H, N, dh].
 
-    The reference reshapes [N, 3D] -> [N, 3, H, dh] -> permute; identical
-    index math here, batched.
+    The reference reshapes [N, 3D] -> [N, 3, H, dh] -> permute
+    (extractor.py:139-144); identical index math here, batched.
     """
     *lead, N, threeD = qkv.shape
     D = threeD // 3
@@ -49,19 +49,12 @@ def keys_from_qkv(qkv: jax.Array, num_heads: int) -> jax.Array:
     perm = list(range(len(lead))) + [len(lead) + 1, len(lead) + 2,
                                      len(lead) + 0, len(lead) + 3]
     x = jnp.transpose(x, perm)                                   # [...,3,H,N,dh]
-    return x[..., 1, :, :, :]
-
-
-def qkv_split(qkv: jax.Array, num_heads: int) -> Tuple[jax.Array, ...]:
-    """[..., N, 3D] -> (q, k, v) each [..., H, N, dh]."""
-    *lead, N, threeD = qkv.shape
-    D = threeD // 3
-    dh = D // num_heads
-    x = qkv.reshape(*lead, N, 3, num_heads, dh)
-    perm = list(range(len(lead))) + [len(lead) + 1, len(lead) + 2,
-                                     len(lead) + 0, len(lead) + 3]
-    x = jnp.transpose(x, perm)
     return x[..., 0, :, :, :], x[..., 1, :, :, :], x[..., 2, :, :, :]
+
+
+def keys_from_qkv(qkv: jax.Array, num_heads: int) -> jax.Array:
+    """[..., N, 3D] -> keys [..., H, N, dh] (reference extractor.py:139-144)."""
+    return qkv_split(qkv, num_heads)[1]
 
 
 def concat_heads(keys: jax.Array) -> jax.Array:

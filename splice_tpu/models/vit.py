@@ -89,7 +89,11 @@ def init_vit_params(key: jax.Array, cfg: VitConfig,
     zero network access."""
     D, P = cfg.embed_dim, cfg.patch_size
     H = int(cfg.mlp_ratio * D)
-    n_pos = 1 + cfg.num_register_tokens + cfg.base_grid ** 2
+    # Upstream DINOv2-reg stores pos_embed for cls + patches ONLY:
+    # register tokens are inserted after the pos-add and carry no
+    # positional embedding (dinov2 vision_transformer.py
+    # prepare_tokens_with_masks).
+    n_pos = 1 + cfg.base_grid ** 2
     keys = jax.random.split(key, 4 + cfg.depth)
 
     def tn(k, shape, std=0.02):
@@ -197,9 +201,10 @@ def interpolate_pos_embed(pos_embed: jax.Array, cfg: VitConfig,
                           gh: int, gw: int) -> jax.Array:
     """Bicubic pos-embed interpolation to a (gh, gw) patch grid, including
     DINO's +0.1 offset trick (upstream dino vision_transformer.py
-    interpolate_pos_encoding). Returns [1, 1+R+gh*gw, D]."""
-    n_prefix = 1 + cfg.num_register_tokens
-    prefix, patch = pos_embed[:, :n_prefix], pos_embed[:, n_prefix:]
+    interpolate_pos_encoding). pos_embed covers cls + patches only
+    (register tokens carry no positional embedding upstream).
+    Returns [1, 1+gh*gw, D]."""
+    prefix, patch = pos_embed[:, :1], pos_embed[:, 1:]
     g0 = cfg.base_grid
     if (gh, gw) == (g0, g0):
         return pos_embed
@@ -316,14 +321,17 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
     x = x.reshape(B, gh * gw, cfg.embed_dim)
     cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype),
                            (B, 1, cfg.embed_dim))
-    toks = [cls]
-    if cfg.num_register_tokens:
-        toks.append(jnp.broadcast_to(
-            params["register_tokens"].astype(compute_dtype),
-            (B, cfg.num_register_tokens, cfg.embed_dim)))
-    x = jnp.concatenate(toks + [x], axis=1)
+    x = jnp.concatenate([cls, x], axis=1)
     pos = interpolate_pos_embed(params["pos_embed"], cfg, gh, gw)
     x = x + pos.astype(compute_dtype)
+    if cfg.num_register_tokens:
+        # Registers sit between cls and patches and get NO pos embedding
+        # (upstream dinov2 prepare_tokens_with_masks inserts them after
+        # the pos-add).
+        reg = jnp.broadcast_to(
+            params["register_tokens"].astype(compute_dtype),
+            (B, cfg.num_register_tokens, cfg.embed_dim))
+        x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
 
     max_layer = max((max(v) for v in taps.values() if len(v)),
                     default=cfg.depth - 1)

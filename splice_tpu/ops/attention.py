@@ -231,21 +231,6 @@ def _pallas_attention_fwd(q, k, v, scale):
     return _pallas_attention_fwd_impl(q, k, v, scale), (q, k, v)
 
 
-def _xla_attention_bwd(scale, res, g):
-    """Exact softmax-attention backward via XLA recompute (fp32)."""
-    q, k, v = res
-    q32, k32, v32, g32 = (t.astype(jnp.float32) for t in (q, k, v, g))
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q32, k32, precision=_HI) * scale
-    p = jax.nn.softmax(logits, axis=-1)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32, precision=_HI)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32, precision=_HI)
-    # d logits = p * (dp - sum_k(p * dp))
-    dl = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", dl, k32, precision=_HI) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", dl, q32, precision=_HI) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
-
-
 def _pallas_attention_bwd(scale, res, g):
     q, k, v = res
     return _pallas_attention_bwd_impl(q, k, v, g, scale)

@@ -30,9 +30,11 @@ def dino_resize_shape(h: int, w: int, size: int = 224,
     (reference util/losses.py:20 semantics).
     """
     short, long = (h, w) if h <= w else (w, h)
-    new_short, new_long = size, int(round(size * long / short))
+    # torchvision truncates (int(), not round()) in both branches —
+    # F_pil.resize / _compute_resized_output_size.
+    new_short, new_long = size, int(size * long / short)
     if max_size is not None and new_long > max_size:
-        new_short = int(round(max_size * new_short / new_long))
+        new_short = int(max_size * new_short / new_long)
         new_long = max_size
     nh, nw = (new_short, new_long) if h <= w else (new_long, new_short)
     return nh, nw

@@ -13,8 +13,9 @@ class TestDinoResizeShape:
         assert im.dino_resize_shape(256, 256) == (224, 224)
 
     def test_landscape(self):
-        # 900x1200: shorter 900 -> 224, longer -> 299 (<480)
-        assert im.dino_resize_shape(900, 1200) == (224, 299)
+        # 900x1200: shorter 900 -> 224, longer int(298.67) = 298 (<480);
+        # torchvision truncates (int(), not round()).
+        assert im.dino_resize_shape(900, 1200) == (224, 298)
 
     def test_max_size_cap(self):
         # 200x1000: plain resize would give (224, 1120) -> cap long to 480
@@ -22,7 +23,7 @@ class TestDinoResizeShape:
         assert w == 480 and h == round(480 * 224 / 1120)
 
     def test_portrait(self):
-        assert im.dino_resize_shape(1200, 900) == (299, 224)
+        assert im.dino_resize_shape(1200, 900) == (298, 224)
 
 
 class TestResizeVsTorch:

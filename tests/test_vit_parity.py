@@ -325,3 +325,32 @@ class TestExtractorApi:
         factor = torch.clamp(norm @ norm.T, min=1e-8)
         ref = (tx @ tx.T) / factor
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+class TestRegisterTokens:
+    def test_layout_matches_upstream_dinov2_reg(self):
+        """pos_embed covers cls + patches ONLY; registers are inserted
+        between cls and patches AFTER the pos-add and carry no positional
+        embedding (upstream dinov2 prepare_tokens_with_masks)."""
+        R = 2
+        cfg = vit_lib.VitConfig(patch_size=8, embed_dim=32, depth=1,
+                                num_heads=2, img_size=32,
+                                num_register_tokens=R,
+                                interpolate_offset=0.0)
+        params = vit_lib.init_vit_params(jax.random.PRNGKey(0), cfg)
+        g = cfg.img_size // cfg.patch_size
+        # a ported dinov2-reg checkpoint stores [1, 1+g^2, D] — no
+        # register rows
+        assert params["pos_embed"].shape == (1, 1 + g * g, 32)
+        assert params["register_tokens"].shape == (1, R, 32)
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        out = vit_lib.vit_forward(params, x, cfg,
+                                   taps={"block": [0]})["block"][0]
+        assert out.shape == (1, 1 + R + g * g, 32)
+        # shifting the register params must move the register rows
+        p2 = dict(params)
+        p2["register_tokens"] = params["register_tokens"] + 7.0
+        out2 = vit_lib.vit_forward(p2, x, cfg,
+                                   taps={"block": [0]})["block"][0]
+        assert not np.allclose(np.asarray(out[:, 1:1 + R]),
+                               np.asarray(out2[:, 1:1 + R]))
