@@ -97,8 +97,22 @@ class Config:
     checkpoint_every: int = 0
     checkpoint_dir: Optional[str] = None
     resume_from: Optional[str] = None
+    # Elastic recovery (new capability; a crash loses the whole run in the
+    # reference, SURVEY.md §5): with max_restarts > 0 (and checkpointing
+    # enabled) the train.py CLI runs the optimization in a child process
+    # and relaunches it from the latest checkpoint after a crash — e.g. a
+    # remote-device tunnel dropping mid-run — up to this many times.
+    max_restarts: int = 0
+    # Fault injection for testing the recovery path: raise RuntimeError
+    # after crossing this step, on the FIRST attempt only (restarted
+    # children see SPLICE_RESTART_ATTEMPT > 0 and run through). -1 = off.
+    fault_inject_step: int = -1
     # Metrics JSONL path (None → <dataroot>/out/metrics.jsonl).
     metrics_path: Optional[str] = None
+    # Pin the jax platform ("cpu"/"tpu"): applied via jax.config.update
+    # BEFORE backend init (the env var is not enough for plugin backends
+    # that register regardless of JAX_PLATFORMS). None = default device.
+    jax_platform: Optional[str] = None
     # Remat the ViT blocks under a save-the-matmuls policy (the expensive
     # intermediates are kept, elementwise/LN recompute; models/vit.py:335).
     # ON by default: every published benchmark runs this way, and at the

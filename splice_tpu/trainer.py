@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -537,6 +538,13 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
                 state, pair.A, pair.B, jnp.int32(step_idx), k_steps,
                 jnp.asarray(lam), n_done)
         step_idx += n_done
+        if (0 <= cfg.fault_inject_step < step_idx
+                and os.environ.get("SPLICE_RESTART_ATTEMPT", "0") == "0"):
+            # Fault injection (first attempt only): exercises the elastic
+            # recovery path — train.py --max_restarts relaunches from the
+            # latest checkpoint (SURVEY.md §5: absent in the reference).
+            raise RuntimeError(
+                f"injected fault after step {cfg.fault_inject_step}")
         timer.tick(n_done)
         loss_seq = parts.pop("loss_seq", None)
         if cfg.scheduler_policy == "plateau":

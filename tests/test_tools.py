@@ -247,3 +247,41 @@ class TestEvaluate:
             a, noisy, channel_axis=-1, data_range=1.0, gaussian_weights=True,
             sigma=1.5, use_sample_covariance=False)
         assert abs(s - ref) < 5e-3
+
+
+class TestElasticRecovery:
+    def test_restart_resumes_from_checkpoint(self, tmp_path):
+        """--max_restarts relaunches a crashed run from the latest
+        checkpoint: attempt 0 hits the injected fault after step 3
+        (checkpoint at 2), attempt 1 resumes and completes (elastic
+        recovery — absent in the reference, SURVEY.md §5)."""
+        import subprocess
+        import sys
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        src = repo / "datasets/splicing/cows"
+        root = tmp_path / "pair"
+        shutil.copytree(src / "A", root / "A")
+        shutil.copytree(src / "B", root / "B")
+        ckdir = tmp_path / "ck"
+        cmd = [sys.executable, str(repo / "train.py"),
+               "--dataroot", str(root), "--A_resize", "48",
+               "--B_resize", "48", "--seed", "9", "--n_epochs", "6",
+               "--entire_A_every", "100", "--log_images_freq", "2",
+               "--vit_compute_dtype", "float32",
+               "--use_pallas_attention", "false", "--remat_vit", "false",
+               "--dino_model_name", "dino_vits8",
+               "--dino_global_patch_size", "32",
+               "--dino_global_max_size", "64",
+               "--checkpoint_every", "2", "--checkpoint_dir", str(ckdir),
+               "--max_restarts", "1", "--fault_inject_step", "3",
+               "--jax_platform", "cpu",
+               "--compile_cache_dir", "/tmp/jax_test_cache"]
+        env = dict(os.environ)
+        env.pop("SPLICE_RESTART_ATTEMPT", None)
+        env.pop("_SPLICE_ELASTIC_CHILD", None)
+        proc = subprocess.run(cmd, cwd=repo, env=env, capture_output=True,
+                              timeout=1200)
+        err = proc.stderr.decode(errors="replace")
+        assert proc.returncode == 0, err[-2000:]
+        assert b"attempt 0 exited" in proc.stderr   # it really crashed once
+        assert (root / "out" / "output.png").exists()
