@@ -25,16 +25,25 @@ def load_image(path: str, shorter_side: Optional[int] = None) -> np.ndarray:
     img = Image.open(path).convert("RGB")
     if shorter_side is not None and shorter_side > 0:
         w, h = img.size
+        # torchvision truncates the scaled long side (int(), not round())
         if h <= w:
-            nh, nw = shorter_side, int(round(shorter_side * w / h))
+            nh, nw = shorter_side, int(shorter_side * w / h)
         else:
-            nh, nw = int(round(shorter_side * h / w)), shorter_side
+            nh, nw = int(shorter_side * h / w), shorter_side
         img = img.resize((nw, nh), Image.BILINEAR)
     return np.asarray(img, np.float32) / 255.0
 
 
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff")
+
+
 def first_image_in(dir_path: str) -> str:
-    names = sorted(os.listdir(dir_path))
+    """First image file (sorted) — skips hidden files and non-image
+    dirents like .ipynb_checkpoints/ or .DS_Store, which sort first."""
+    names = sorted(
+        n for n in os.listdir(dir_path)
+        if not n.startswith(".") and n.lower().endswith(_IMAGE_EXTS)
+        and os.path.isfile(os.path.join(dir_path, n)))
     if not names:
         raise FileNotFoundError(f"no images in {dir_path}")
     return os.path.join(dir_path, names[0])
@@ -101,7 +110,11 @@ def load_video_frames(cfg, dataroot: Optional[str] = None):
     b_dev = jnp.asarray(b_np)
     cb = crop_canvas_size(b_np.shape[0], b_np.shape[1], cfg.crop_canvas)
     a_dir = os.path.join(root, "A")
-    for name in sorted(os.listdir(a_dir)):
+    frames = sorted(
+        n for n in os.listdir(a_dir)
+        if not n.startswith(".") and n.lower().endswith(_IMAGE_EXTS)
+        and os.path.isfile(os.path.join(a_dir, n)))
+    for name in frames:
         a_np = load_image(os.path.join(a_dir, name), cfg.A_resize)
         ca = crop_canvas_size(a_np.shape[0], a_np.shape[1], cfg.crop_canvas)
         # Same canvas-unification as load_pair: equal crop canvases let the

@@ -143,9 +143,14 @@ def _downsampler_kernel(kernel_type: str, factor: int) -> np.ndarray:
     if kernel_type.startswith("lanczos"):
         support = int(kernel_type[-1])
         phase = 0.5
-        ksize = factor * (2 * support + 1) - 1  # even-phase kernel
+        # Reference: kernel_width = 2*support*factor + 1, and phase-0.5
+        # kernels are (kernel_width - 1)-sized — i.e. EVEN, 2*support*factor
+        # (downsampler.py:14-22,77-78). The center keeps the original
+        # kernel_width (downsampler.py:103).
+        kernel_width = 2 * support * factor + 1
+        ksize = kernel_width - 1
         k = np.zeros((ksize, ksize), np.float64)
-        center = (ksize + 1.0) / 2.0
+        center = (kernel_width + 1.0) / 2.0
         for i in range(1, ksize + 1):
             for j in range(1, ksize + 1):
                 di = abs(i + 0.5 - center) / factor
@@ -472,8 +477,13 @@ def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
     """
     if cfg.downsample_mode != "stride":
         return skip_apply(params, cfg, x_nhwc, compute_dtype)
-    if conv_impl == "fused" and cfg.act_fun in ("LeakyReLU", "none"):
-        return _skip_apply_chw_fused(params, cfg, x_nhwc, compute_dtype)
+    if conv_impl == "fused":
+        if cfg.act_fun in ("LeakyReLU", "none"):
+            return _skip_apply_chw_fused(params, cfg, x_nhwc, compute_dtype)
+        # The fused prologue only implements leaky-relu/identity; degrade
+        # to the measured per-site auto dispatch rather than silently
+        # falling through to the all-XLA formulation.
+        conv_impl = "auto"
     if conv_impl in ("pallas", "auto") and jax.default_backend() != "cpu":
         # On CPU the kernel would run in (slow) interpret mode; the XLA
         # shifted-dot formulation is the right backend there.
@@ -563,10 +573,19 @@ def _init_conv_kernel(key, shape, init_type: str, gain: float):
         std = float(np.sqrt(2.0 / fan_in))
         w = std * jax.random.normal(key, shape)
     elif init_type == "orthogonal":
-        flat = jax.random.normal(key, (fan_in, cout))
-        q, r = jnp.linalg.qr(flat)
+        # torch init.orthogonal_ semantics: rows = cout, cols = fan_in;
+        # when rows < cols it orthogonalizes the transpose (reduced QR of
+        # a wide matrix would yield too few columns to fill the weight —
+        # the old code crashed whenever cout > fan_in, e.g. the default
+        # 1x1 skip conv with cin=3, cout=4).
+        rows, cols = cout, fan_in
+        tall = (max(rows, cols), min(rows, cols))
+        q, r = jnp.linalg.qr(jax.random.normal(key, tall))
         q = q * jnp.sign(jnp.diagonal(r))
-        w = gain * q.reshape(kh, kw, cin, cout)
+        mat = q if rows >= cols else q.T                 # [cout, fan_in]
+        # torch fills weight.view(cout, cin*kh*kw) -> [kh,kw,cin,cout] here
+        w = gain * jnp.transpose(mat.reshape(cout, cin, kh, kw),
+                                 (2, 3, 1, 0))
     else:
         raise ValueError(init_type)
     return w.astype(jnp.float32)

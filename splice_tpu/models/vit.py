@@ -68,6 +68,18 @@ VIT_CONFIGS: Dict[str, VitConfig] = {
     "dinov2_vitl14": VitConfig(patch_size=14, embed_dim=1024, depth=24,
                                num_heads=16, img_size=518,
                                interpolate_offset=0.0, layerscale_init=1e-5),
+    # DINOv2-with-registers variants (4 register tokens inserted after the
+    # pos-add, upstream dinov2_vit{b,l}14_reg).
+    "dinov2_vitb14_reg": VitConfig(patch_size=14, embed_dim=768, depth=12,
+                                   num_heads=12, img_size=518,
+                                   interpolate_offset=0.0,
+                                   layerscale_init=1e-5,
+                                   num_register_tokens=4),
+    "dinov2_vitl14_reg": VitConfig(patch_size=14, embed_dim=1024, depth=24,
+                                   num_heads=16, img_size=518,
+                                   interpolate_offset=0.0,
+                                   layerscale_init=1e-5,
+                                   num_register_tokens=4),
 }
 
 

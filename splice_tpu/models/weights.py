@@ -53,6 +53,14 @@ def port_torch_state_dict(state: Mapping[str, np.ndarray],
         "norm": ln("norm"),
         "blocks": [],
     }
+    if ("register_tokens" in s) != bool(cfg.num_register_tokens):
+        raise ValueError(
+            "register-token mismatch: the checkpoint "
+            f"{'has' if 'register_tokens' in s else 'lacks'} register_tokens "
+            f"but the config expects {cfg.num_register_tokens}; use the "
+            "matching model name (e.g. dinov2_vitb14_reg for a "
+            "with-registers checkpoint) — silently dropping registers "
+            "would run the ViT on a token layout it was never trained on")
     if "register_tokens" in s:
         params["register_tokens"] = jnp.asarray(s["register_tokens"])
     for i in range(cfg.depth):
@@ -117,6 +125,12 @@ def load_vit_params(path: str,
                  "bias": jnp.asarray(data["norm.bias"])},
         "blocks": [],
     }
+    if ("register_tokens" in data) != bool(cfg.num_register_tokens):
+        raise ValueError(
+            "register-token mismatch between checkpoint "
+            f"{path!r} and model {name!r} (expects "
+            f"{cfg.num_register_tokens} registers); use the matching "
+            "model name (e.g. dinov2_vitb14_reg)")
     if "register_tokens" in data:
         params["register_tokens"] = jnp.asarray(data["register_tokens"])
     for i in range(cfg.depth):

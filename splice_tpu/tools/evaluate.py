@@ -97,7 +97,7 @@ def _alex_taps(x, weights):
     from jax import lax
 
     taps = []
-    for name, stride, pad, pool in _ALEX_SPEC:
+    for i, (name, stride, pad, pool) in enumerate(_ALEX_SPEC):
         w = jnp.asarray(weights[f"{name}_w"], jnp.float32)
         b = jnp.asarray(weights[f"{name}_b"], jnp.float32)
         x = lax.conv_general_dilated(
@@ -106,7 +106,9 @@ def _alex_taps(x, weights):
             dimension_numbers=("NCHW", "OIHW", "NCHW"))
         x = jax.nn.relu(x + b[None, :, None, None])
         taps.append(x)
-        if pool:
+        if pool and i + 1 < len(_ALEX_SPEC):
+            # the pool only feeds the NEXT conv; after the last tap it
+            # would be dead work executed eagerly on every call
             x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 3, 3),
                                   (1, 1, 2, 2), "VALID")
     return taps

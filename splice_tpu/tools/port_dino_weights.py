@@ -46,7 +46,7 @@ def main():
                         help="torch checkpoint (.pth) path")
     parser.add_argument("--model_name", default="dino_vitb8",
                         help="dino_vitb8|dino_vits8|dino_vitb16|dino_vits16|"
-                             "dinov2_vitb14|dinov2_vitl14")
+                             "dinov2_vit{b,l}14[_reg]")
     parser.add_argument("--out", required=True, help="output .npz path")
     args = parser.parse_args()
 

@@ -235,3 +235,60 @@ class TestConfig:
     def test_unknown_key_rejected(self):
         with pytest.raises(ValueError):
             load_config(None, {"bogus": 1})
+
+
+class TestDataLayer:
+    def test_load_image_truncates_like_torchvision(self, tmp_path):
+        """Resize(int) truncates the scaled long side: 900x1200 at
+        shorter_side=224 -> (224, 298), int(298.67), not round()."""
+        from PIL import Image
+        from splice_tpu.data import load_image
+        p = str(tmp_path / "img.png")
+        Image.new("RGB", (1200, 900)).save(p)   # PIL size is (W, H)
+        arr = load_image(p, shorter_side=224)
+        assert arr.shape == (224, 298, 3)
+
+    def test_first_image_in_skips_non_images(self, tmp_path):
+        from splice_tpu.data import first_image_in
+        (tmp_path / ".ipynb_checkpoints").mkdir()
+        (tmp_path / ".DS_Store").write_bytes(b"junk")
+        (tmp_path / "AAA.txt").write_text("not an image")
+        (tmp_path / "b.jpg").write_bytes(b"")
+        assert first_image_in(str(tmp_path)).endswith("b.jpg")
+
+    def test_first_image_in_empty_raises(self, tmp_path):
+        from splice_tpu.data import first_image_in
+        with pytest.raises(FileNotFoundError):
+            first_image_in(str(tmp_path))
+
+
+class TestRegisterCheckpointGuard:
+    def test_register_mismatch_rejected(self, tmp_path):
+        """A with-registers checkpoint loaded under a no-registers model
+        name must fail loudly: silently dropping the registers would run
+        the ViT on a token layout it was never trained on."""
+        from splice_tpu.models import vit as vit_lib
+        from splice_tpu.models.weights import (load_vit_params,
+                                               save_vit_params)
+        cfg = vit_lib.VitConfig(patch_size=8, embed_dim=32, depth=1,
+                                num_heads=2, img_size=32,
+                                num_register_tokens=2)
+        vit_lib.VIT_CONFIGS["_reg_tiny"] = cfg
+        vit_lib.VIT_CONFIGS["_noreg_tiny"] = dataclasses.replace(
+            cfg, num_register_tokens=0)
+        try:
+            params = vit_lib.init_vit_params(jax.random.PRNGKey(0), cfg)
+            path = str(tmp_path / "w.npz")
+            save_vit_params(path, params, "_reg_tiny")
+            ok = load_vit_params(path, "_reg_tiny")
+            assert "register_tokens" in ok
+            # with-registers tensors stored under a no-registers model
+            # name: the register guard must fire (the earlier model-name
+            # equality check is bypassed by saving under that name)
+            bad = str(tmp_path / "bad.npz")
+            save_vit_params(bad, params, "_noreg_tiny")
+            with pytest.raises(ValueError, match="register"):
+                load_vit_params(bad, "_noreg_tiny")
+        finally:
+            del vit_lib.VIT_CONFIGS["_reg_tiny"]
+            del vit_lib.VIT_CONFIGS["_noreg_tiny"]

@@ -172,6 +172,22 @@ class TestInit:
         m = np.asarray(w).reshape(32, 16)
         np.testing.assert_allclose(m.T @ m, np.eye(16), atol=1e-4)
 
+    def test_orthogonal_wide(self):
+        """cout > fan_in (e.g. the default 1x1 skip conv: cin=3, cout=4):
+        torch orthogonal_ orthogonalizes the transpose; the old code
+        crashed reshaping a reduced-QR q of the wrong size."""
+        w = unet._init_conv_kernel(jax.random.PRNGKey(0), (1, 1, 3, 4),
+                                   "orthogonal", 1.0)
+        m = np.asarray(w).reshape(3, 4)
+        # rows of the [cout, fan_in] matrix are orthonormal -> m m^T = I_3
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-4)
+
+    def test_orthogonal_full_net_init(self):
+        params = unet.init_skip_params(jax.random.PRNGKey(1),
+                                       unet.SkipConfig(), "orthogonal", 1.0)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(params))
+
     def test_bn_init_stats(self):
         p = unet._bn_params(jax.random.PRNGKey(0), 1000, 0.02)
         assert abs(float(jnp.mean(p["scale"])) - 1.0) < 0.01
@@ -334,3 +350,56 @@ class TestStride2PhaseModes:
             unet.STRIDE2_PHASE_MODE = "slice"
         np.testing.assert_allclose(ya, yb, atol=1e-6)
         np.testing.assert_allclose(ga, gb, atol=1e-5)
+
+
+class TestLanczosReferenceParity:
+    @staticmethod
+    def _reference_kernel(factor, support):
+        """Independent re-derivation of the DIP get_kernel for
+        phase=0.5 lanczos (reference downsampler.py:73-135):
+        kernel_width = 2*support*factor + 1, actual size kernel_width-1,
+        center keeps the ORIGINAL kernel_width."""
+        kernel_width = 2 * support * factor + 1
+        k = np.zeros((kernel_width - 1, kernel_width - 1))
+        center = (kernel_width + 1) / 2.0
+        for i in range(1, k.shape[0] + 1):
+            for j in range(1, k.shape[1] + 1):
+                di = abs(i + 0.5 - center) / factor
+                dj = abs(j + 0.5 - center) / factor
+                val = 1.0
+                for d in (di, dj):
+                    if d != 0:
+                        val *= (support * np.sin(np.pi * d)
+                                * np.sin(np.pi * d / support)
+                                / (np.pi * np.pi * d * d))
+                    if d >= support:
+                        val = 0.0
+                k[i - 1, j - 1] = val
+        return k / k.sum()
+
+    @pytest.mark.parametrize("mode,factor", [("lanczos2", 2),
+                                             ("lanczos3", 2)])
+    def test_kernel_matches_reference(self, mode, factor):
+        ours = unet._downsampler_kernel(mode, factor)
+        ref = self._reference_kernel(factor, int(mode[-1]))
+        assert ours.shape == ref.shape == (2 * int(mode[-1]) * factor,) * 2
+        np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+    def test_downsample_matches_torch_reference_conv(self):
+        """downsample(..., 'lanczos2') == the reference Downsampler
+        (replication-pad (k-factor)/2, stride-factor depthwise conv)."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(11)
+        x = rng.random((1, 12, 12, 3)).astype(np.float32)
+        ours = np.asarray(unet.downsample(jnp.asarray(x), "lanczos2", 2))
+        kern = self._reference_kernel(2, 2)
+        pad = (kern.shape[0] - 2) // 2
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        xt = torch.nn.functional.pad(xt, (pad,) * 4, mode="replicate")
+        wt = torch.zeros(3, 3, *kern.shape, dtype=torch.float32)
+        for c in range(3):
+            wt[c, c] = torch.from_numpy(kern.astype(np.float32))
+        out = torch.nn.functional.conv2d(xt, wt, stride=2)
+        out = out.permute(0, 2, 3, 1).numpy()
+        assert ours.shape == out.shape == (1, 6, 6, 3)
+        np.testing.assert_allclose(ours, out, atol=1e-5)
