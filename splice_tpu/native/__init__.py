@@ -22,13 +22,23 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a per-pid temp name and os.replace into place: the
+    # module _lock only serializes threads within ONE process, and two
+    # processes (elastic-recovery relaunch, concurrent benches) must not
+    # dlopen a half-written .so or clobber each other's output.
+    tmp = _LIB.with_suffix(f".so.tmp{os.getpid()}")
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-lz",
-             "-o", str(_LIB)],
+             "-o", str(tmp)],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 

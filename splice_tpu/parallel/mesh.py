@@ -22,6 +22,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(dp: int = 1, tp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
+    if devices is None and dp * tp == len(jax.devices()):
+        # Topology-aware placement: create_device_mesh keeps each tp
+        # group on ICI-adjacent chips, so the per-block row-parallel
+        # all-reduces ride neighbor links (raw jax.devices() enumeration
+        # order carries no such guarantee on real slices).
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh((dp, tp))
+            return Mesh(arr, axis_names=("dp", "tp"))
+        except Exception:
+            pass    # odd shapes/backends: fall through to list order
     devices = list(devices if devices is not None else jax.devices())
     if dp * tp > len(devices):
         raise ValueError(f"mesh {dp}x{tp} needs {dp * tp} devices, "

@@ -96,6 +96,18 @@ class Scheduler:
                 self._plateau_factor *= 0.2
                 self._bad_epochs = 0
 
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        """Host scheduler state for checkpointing — only plateau carries
+        any (the other policies are closed-form in the step index)."""
+        return {"plateau_factor": np.float64(self._plateau_factor),
+                "best": np.float64(self._best),
+                "bad_epochs": np.int64(self._bad_epochs)}
+
+    def load_state_dict(self, d) -> None:
+        self._plateau_factor = float(d["plateau_factor"])
+        self._best = float(d["best"])
+        self._bad_epochs = int(d["bad_epochs"])
+
     def lr_for_step(self, i: int) -> float:
         c = self.cfg
         if self.policy == "none":
@@ -439,6 +451,7 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
         state = program.init_state(k_init, params=init_params)
     else:
         state = program.init_state(k_init)
+    sched = Scheduler(cfg)
     if init_params is None and cfg.resume_from:
         # Crash recovery / continuation (new capability: the reference
         # loses the whole run on a crash, SURVEY.md §5).
@@ -446,12 +459,26 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
         rck = Checkpointer(cfg.resume_from)
         step0 = rck.latest_step()
         if step0 is not None:
-            state = rck.restore(step0, template=jax.tree.map(np.asarray,
-                                                             state))
+            template = jax.tree.map(np.asarray, state)
+            if cfg.scheduler_policy == "plateau":
+                # Plateau lr depends on host feedback history, so its
+                # factor/best/patience state rides in the checkpoint —
+                # without it a resume would silently reset lr to base.
+                try:
+                    restored = rck.restore(
+                        step0,
+                        template={**template, "sched": sched.state_dict()})
+                    sched.load_state_dict(restored.pop("sched"))
+                    state = restored
+                except Exception:
+                    # pre-sched-state checkpoint: restore what exists
+                    state = rck.restore(step0, template=template)
+                    print("warning: checkpoint has no scheduler state; "
+                          "plateau lr restarts from the base lr")
+            else:
+                state = rck.restore(step0, template=template)
             start_epoch = step0 + 1
             print(f"resumed from {cfg.resume_from} at step {step0}")
-
-    sched = Scheduler(cfg)
     own_logger = logger is None
     if own_logger:
         logger = MetricsLogger(cfg.metrics_path
@@ -527,12 +554,10 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
                 jnp.asarray(lam))
             n_done = 1
         else:
+            # boundaries_after never crosses the next entire-A step (it is
+            # one of the candidates), a log/checkpoint boundary, or the
+            # lambda-warmup switch.
             end = boundaries_after(step_idx)
-            # regular chunk must not swallow an entire-A step
-            if cfg.lambda_entire_ssim > 0 or cfg.lambda_entire_cls > 0:
-                nxt_entire = ((step_idx // cfg.entire_A_every) + 1) \
-                    * cfg.entire_A_every
-                end = min(end, nxt_entire)
             n_done = end - step_idx
             state, parts = program.step_chunk(
                 state, pair.A, pair.B, jnp.int32(step_idx), k_steps,
@@ -559,9 +584,13 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
         if step_idx % cfg.log_images_freq == 0 or step_idx >= total_steps:
             # uint8 on device; the saver thread does the (tunnel) d2h.
             # Intermediate frames may drop under queue pressure (a newer
-            # one lands shortly); the FINAL output.png must not.
+            # one lands shortly); the FINAL output.png must not. Video
+            # mode (want_output=False) writes its own per-frame artifact
+            # from output_u8 — skip the duplicate final output.png encode.
             out_u8 = program.render_u8(state["params"], pair.A)
-            saver.save(out_u8, out_png, must_write=step_idx >= total_steps)
+            if want_output or step_idx < total_steps:
+                saver.save(out_u8, out_png,
+                           must_write=step_idx >= total_steps)
             # Scalar fetches + the memory-stats RPC happen in the metrics
             # worker thread: on the train thread each was a blocking
             # tunnel roundtrip per log boundary (video mode pays several
@@ -577,7 +606,10 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
             if callback is not None:
                 callback(out_u8)
         if ckpt is not None and step_idx % cfg.checkpoint_every == 0:
-            ckpt.save(step_idx, state)
+            if cfg.scheduler_policy == "plateau":
+                ckpt.save(step_idx, {**state, "sched": sched.state_dict()})
+            else:
+                ckpt.save(step_idx, state)
     # Final float render for the return value. The loop's last iteration
     # already queued the final output.png (its log branch fires when
     # step_idx >= total_steps), so no synchronous save/transfer here —
@@ -601,6 +633,11 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
         # output artifact (reference train.py:70-74 contract).
         out_u8 = program.render_u8(state["params"], pair.A)
         saver.save(out_u8, out_png, must_write=True)
+    if ckpt is not None:
+        # orbax saves are async: finalize the last one before returning,
+        # or process teardown can leave it uncommitted and a later resume
+        # silently restarts up to checkpoint_every steps earlier.
+        ckpt.wait()
     if own_saver:
         saver.close()
     if own_logger:

@@ -46,7 +46,26 @@ class Checkpointer:
         leaves = jax.tree_util.tree_flatten_with_path(state)[0]
         named = {jax.tree_util.keystr(path): np.asarray(leaf)
                  for path, leaf in leaves}
-        np.savez(os.path.join(self.directory, f"ckpt_{step}.npz"), **named)
+        # Atomic write: a crash mid-save must never leave a truncated zip
+        # at the final path — elastic recovery resumes from latest_step(),
+        # and a bricked latest checkpoint would fail every relaunch.
+        final = os.path.join(self.directory, f"ckpt_{step}.npz")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **named)
+        os.replace(tmp, final)
+        self._prune()
+
+    def _prune(self) -> None:
+        """Honor max_to_keep in the npz fallback (orbax prunes itself)."""
+        steps = sorted(
+            int(f[5:-4]) for f in os.listdir(self.directory)
+            if f.startswith("ckpt_") and f.endswith(".npz"))
+        for s in steps[:-self.max_to_keep] if self.max_to_keep > 0 else []:
+            try:
+                os.remove(os.path.join(self.directory, f"ckpt_{s}.npz"))
+            except OSError:
+                pass
 
     def wait(self) -> None:
         if self._mgr is not None:
@@ -69,6 +88,10 @@ class Checkpointer:
                 return self._mgr.restore(
                     step, args=self._ocp.args.StandardRestore(template))
             return self._mgr.restore(step)
+        if template is None:
+            raise ValueError(
+                "the npz checkpoint fallback requires a `template` state "
+                "tree to restore into (orbax can restore without one)")
         data = np.load(os.path.join(self.directory, f"ckpt_{step}.npz"))
         paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
         if set(data.files) == {f"arr_{i}" for i in range(len(data.files))}:

@@ -57,8 +57,12 @@ def train_video(cfg: Config,
     from splice_tpu import trainer  # local import: keep module load light
 
     trainer.setup_compile_cache(cfg)
-    first_steps = first_frame_steps or cfg.n_epochs
-    warm_steps = warm_frame_steps or max(cfg.n_epochs // 10, 1)
+    # `x if x is not None else default`: an explicit 0 ("just re-render
+    # with the warm-started params") must not fall back to the default.
+    first_steps = (first_frame_steps if first_frame_steps is not None
+                   else cfg.n_epochs)
+    warm_steps = (warm_frame_steps if warm_frame_steps is not None
+                  else max(cfg.n_epochs // 10, 1))
     extractor = trainer.make_extractor_from_config(cfg)
 
     out_dir = os.path.join(cfg.dataroot, "out")

@@ -285,3 +285,35 @@ class TestElasticRecovery:
         assert proc.returncode == 0, err[-2000:]
         assert b"attempt 0 exited" in proc.stderr   # it really crashed once
         assert (root / "out" / "output.png").exists()
+
+
+class TestCheckpointerRobustness:
+    def test_npz_prune_atomic_and_template_required(self, tmp_path):
+        from splice_tpu.utils.checkpoint import Checkpointer
+        ck = Checkpointer(str(tmp_path / "ck"), max_to_keep=2)
+        ck._mgr = None   # force the npz fallback
+        state = {"w": np.arange(3.0)}
+        for s in (1, 2, 3, 4):
+            ck.save(s, state)
+        files = sorted(os.listdir(tmp_path / "ck"))
+        # max_to_keep honored; no .tmp residue (atomic os.replace)
+        assert files == ["ckpt_3.npz", "ckpt_4.npz"]
+        assert ck.latest_step() == 4
+        with pytest.raises(ValueError, match="template"):
+            ck.restore(4, template=None)
+
+    def test_plateau_scheduler_state_roundtrip(self):
+        """Plateau factor/best/patience must survive checkpoint/resume —
+        a fresh Scheduler would silently restore the base lr."""
+        from splice_tpu.config import Config
+        from splice_tpu.trainer import Scheduler
+        cfg = Config(scheduler_policy="plateau")
+        s = Scheduler(cfg)
+        for _ in range(8):        # non-improving losses -> one lr cut
+            s.observe(1.0)
+        assert s.lr_for_step(0) == pytest.approx(cfg.lr * 0.2)
+        s2 = Scheduler(cfg)
+        s2.load_state_dict(s.state_dict())
+        assert s2.lr_for_step(0) == s.lr_for_step(0)
+        assert s2._bad_epochs == s._bad_epochs
+        assert s2._best == s._best
