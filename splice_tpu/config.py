@@ -165,6 +165,14 @@ _FIELDS = {f.name: f for f in dataclasses.fields(Config)}
 def _coerce(name: str, value: Any) -> Any:
     f = _FIELDS[name]
     if value is None:
+        # YAML 'key:' with no value parses to null — only legal for
+        # Optional fields; for 'int'/'bool'/... it would surface as a
+        # confusing crash deep inside the run (e.g. PRNGKey(None)).
+        t = str(f.type)
+        if "Optional" not in t and not t.startswith("str | None"):
+            raise ValueError(
+                f"config key {name!r} is null (empty YAML value) but has "
+                f"non-optional type {t}; give it a value or remove it")
         return None
     t = f.type
     if t in ("int", int):

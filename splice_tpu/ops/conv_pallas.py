@@ -42,18 +42,6 @@ def _rows_per_tile(cin: int, cout: int, k: int, wp: int,
     return int(max(8, min(rows, 256)))
 
 
-def _roll_left(xs, dx: int, wp: int):
-    """Lane-roll left by dx. Mosaic only rotates 32-bit data; bf16 packs
-    PAIRS ALONG SUBLANES into 32-bit words, so rolling the bitcast i32 view
-    along lanes is an exact bf16 lane roll (needs even sublane count)."""
-    if xs.dtype.itemsize == 4:
-        return pltpu.roll(xs, wp - dx, 2)
-    if xs.shape[1] % 2 == 0:
-        xi = pltpu.bitcast(xs, jnp.int32)
-        return pltpu.bitcast(pltpu.roll(xi, wp - dx, 2), xs.dtype)
-    return pltpu.roll(xs.astype(jnp.float32), wp - dx, 2).astype(xs.dtype)
-
-
 def _roll_left2d(xs, dx: int):
     """Lane-roll left by dx for a 2-D [rows, L] operand (axis 1)."""
     L = xs.shape[1]
@@ -197,8 +185,9 @@ def _conv_fwd_impl(xp: jax.Array, w: jax.Array, k: int,
     kpack = k > 1 and wp >= 768
     if kpack:
         # The stacked-tap operand multiplies the per-row VMEM k*k-fold;
-        # shrink the row tile accordingly (even rows keep the bf16
-        # lane-roll bitcast trick applicable).
+        # shrink the row tile accordingly. (_rows_per_tile keeps rows
+        # sublane-divisible; the bf16 lane-roll bitcast in _roll_left2d
+        # gates on Cin parity, not row count.)
         ht = min(_rows_per_tile(cin * (k * k + 1), cout, k, wp,
                                 xp.dtype.itemsize), ho)
         ht = max(ht, 8)
@@ -256,8 +245,7 @@ def _conv_fwd_impl(xp: jax.Array, w: jax.Array, k: int,
     return out[:, :, :ho, :]
 
 
-def _make_dw_kernel(k: int, ht: int, w_out: int, has_pro: bool,
-                    negslope: float):
+def _make_dw_kernel(k: int, ht: int, has_pro: bool, negslope: float):
     """Accumulate dw[k*k*Cin, Cout] over grid tiles: ONE tap-packed
     [k*k*Cin, ht*Wp] x [ht*Wp, Cout] dot per tile instead of k*k skinny
     M=Cin dots — ceil(k*k*Cin/128) MXU output tiles stream the pixel
@@ -284,10 +272,9 @@ def _make_dw_kernel(k: int, ht: int, w_out: int, has_pro: bool,
 
         flat = _flat_slab(x_ref[0], halo_ref[0, 0] if k > 1 else None, k,
                           ht, wp, pro)
-        # zero the invalid tail columns of g (cols >= w_out)
-        col = jax.lax.broadcasted_iota(jnp.int32, (ht, wp), 1)
-        gmask = (col < w_out).astype(g_ref.dtype)
-        g2 = (g_ref[0] * gmask[None]).reshape(cout, ht * wp)
+        # g is zero-padded to [n_tiles*ht, wp] by _dw_impl, so invalid
+        # rows/columns already contribute nothing to the dot.
+        g2 = g_ref[0].reshape(cout, ht * wp)
         taps = _flat_taps(flat, k, ht, wp)
         big = jnp.stack(taps, axis=0).reshape(k * k * cin, ht * wp)
         acc_ref[:] += jax.lax.dot_general(
@@ -325,7 +312,7 @@ def _dw_impl(xp: jax.Array, g: jax.Array, k: int,
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, n_tiles * ht - g.shape[2]),
                      (0, wp - g.shape[3])))
     has_pro = scale is not None
-    kernel = _make_dw_kernel(k, ht, wp0 - k + 1, has_pro, negslope)
+    kernel = _make_dw_kernel(k, ht, has_pro, negslope)
     in_specs = [
         pl.BlockSpec((1, cin, ht, wp), lambda b, i: (b, 0, i, 0),
                      memory_space=pltpu.VMEM),

@@ -50,13 +50,12 @@ class MultiPairProgram:
 
 
 def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
-                             mesh: Mesh, image_hw: int, canvas: int,
+                             mesh: Mesh, canvas: int,
                              gcfg: Optional[unet.SkipConfig] = None
                              ) -> MultiPairProgram:
-    """All pairs share one static geometry: images are [P, image_hw,
-    image_hw, 3] (square, pre-resized by the loader), crops land on
-    `canvas`. The generator/optimizer state carries a leading P axis
-    sharded over dp.
+    """All pairs share one static geometry: images are [P, hw, hw, 3]
+    (square, pre-resized by the loader), crops land on `canvas`. The
+    generator/optimizer state carries a leading P axis sharded over dp.
     """
     gcfg = gcfg or unet.SkipConfig()
     nA, nB = cfg.global_A_crops_n_crops, cfg.global_B_crops_n_crops
@@ -233,16 +232,15 @@ def load_pair_batch(cfg: Config, dataroots: Sequence[str],
     """Load P pairs, shorter-side resize + center crop to (image_hw,
     image_hw) so every pair shares one static geometry."""
     from splice_tpu.data import first_image_in, load_image
-    import os
 
     def square(np_img):
         h, w, _ = np_img.shape
         short = min(h, w)
-        scale_hw = (int(round(h * image_hw / short)),
-                    int(round(w * image_hw / short)))
-        t = jax.image.resize(jnp.asarray(np_img),
-                             (scale_hw[0], scale_hw[1], 3), "bilinear",
-                             antialias=True)
+        # torchvision truncation (int(), not round()) — same parity
+        # convention as load_image / dino_resize_shape.
+        scale_hw = (int(h * image_hw / short), int(w * image_hw / short))
+        t = img_ops.resize(jnp.asarray(np_img), scale_hw,
+                           antialias=cfg.antialias)
         top = (scale_hw[0] - image_hw) // 2
         left = (scale_hw[1] - image_hw) // 2
         return t[top:top + image_hw, left:left + image_hw]
@@ -308,13 +306,21 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
                   f"{n_dev}; clamping dp to {dp_clamped} (pairs still "
                   f"optimize together in one compiled step)")
             dp = dp_clamped
+        if n_pairs % dp != 0:
+            # P("dp") shards the pair axis: dp must DIVIDE n_pairs or
+            # device_put/init_states crash. Largest divisor <= dp.
+            dp_div = max(d for d in range(1, dp + 1) if n_pairs % d == 0)
+            print(f"dp={dp} does not divide {n_pairs} pairs; using "
+                  f"dp={dp_div}")
+            dp = dp_div
         mesh = mesh_lib.make_mesh(dp=dp, tp=tp)
     extractor = trainer.make_extractor_from_config(cfg)
     extractor = dataclasses.replace(
         extractor,
         params=mesh_lib.shard_vit_params(extractor.params, mesh))
-    canvas = (image_hw // 32) * 32
-    program = build_multi_pair_program(cfg, extractor, mesh, image_hw, canvas)
+    from splice_tpu.data import crop_canvas_size
+    canvas = crop_canvas_size(image_hw, image_hw, cfg.crop_canvas)
+    program = build_multi_pair_program(cfg, extractor, mesh, canvas)
 
     batch = load_pair_batch(cfg, dataroots, image_hw)
     dp_shard = mesh_lib.dp_sharding(mesh)

@@ -216,7 +216,9 @@ def main():
                  compute_dtype=args.compute_dtype,
                  generator_layout=args.generator_layout,
                  generator_conv=args.generator_conv)
-    print(f"done: final loss {res['loss']:.6f}, "
+    loss_txt = ("n/a" if res["loss"] is None   # zero-iteration run
+                else f"{res['loss']:.6f}")
+    print(f"done: final loss {loss_txt}, "
           f"{res['wall_time']:.1f}s -> {args.save_path}")
 
 

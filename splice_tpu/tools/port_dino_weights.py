@@ -26,7 +26,14 @@ import numpy as np
 
 def load_torch_state(path: str) -> dict:
     import torch
-    obj = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Full DINO release checkpoints bundle non-tensor entries (e.g.
+        # an argparse.Namespace under 'args') that weights_only refuses;
+        # the user explicitly pointed us at this local file, so fall back
+        # to a full unpickle for the documented nested formats.
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     for key in ("state_dict", "teacher", "model"):
         if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
             obj = obj[key]

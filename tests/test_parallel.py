@@ -94,7 +94,7 @@ class TestMultiPairTraining:
             vit_lib.init_vit_params(jax.random.PRNGKey(0), vcfg), mesh)
         extractor = ext_lib.VitExtractor(params=vparams, cfg=vcfg,
                                          model_name="tiny")
-        prog = build_multi_pair_program(cfg, extractor, mesh, 64, 32)
+        prog = build_multi_pair_program(cfg, extractor, mesh, 32)
         rng = np.random.default_rng(1)
         dp_shard = mesh_lib.dp_sharding(mesh)
         As = jax.device_put(jnp.asarray(rng.random((4, 64, 64, 3)),
@@ -172,18 +172,22 @@ class TestMultiPairTraining:
 
         src = pathlib.Path("datasets/splicing/cows")
         roots = []
-        for name in ("c0", "c1"):
+        for name in ("c0", "c1", "c2"):
             root = tmp_path / name
             shutil.copytree(src / "A", root / "A")
             shutil.copytree(src / "B", root / "B")
             roots.append(str(root))
+        # mesh_tp=16 exceeds the 8-device test mesh (tp -> 1) and
+        # mesh_dp=2 does not divide the 3 pairs (dp -> 1): both clamps
+        # must fire instead of crashing device_put with an indivisible
+        # P("dp") sharding.
         cfg = load_config(None, dict(
             A_resize=48, B_resize=48, seed=5, n_epochs=2,
             entire_A_every=100, log_images_freq=2,
             vit_compute_dtype="float32", use_pallas_attention=False,
             remat_vit=False, dino_model_name="dino_vits8",
             dino_global_patch_size=32, dino_global_max_size=64,
-            mesh_dp=64, mesh_tp=16))
+            mesh_dp=2, mesh_tp=16))
         res = train_pairs(cfg, roots, image_hw=32, n_steps=2)
         assert np.all(np.isfinite(res["losses"]["loss"]))
 
