@@ -75,7 +75,8 @@ def encode_png_rgb8(arr, compress_level: int = 6) -> bytes | None:
     if lib is None:
         return None
     a = np.ascontiguousarray(arr, dtype=np.uint8)
-    assert a.ndim == 3 and a.shape[2] == 3, a.shape
+    if a.ndim != 3 or a.shape[2] != 3:
+        return None    # not RGB8 (grayscale/RGBA): caller falls back to PIL
     h, w = a.shape[:2]
     cap = lib.png_max_size(h, w)
     out = ctypes.create_string_buffer(cap)

@@ -42,6 +42,20 @@ class TestNativePng:
         data = native.encode_png_rgb8(arr)
         assert len(data) < 128 * 128 * 3 / 10
 
+    def test_non_rgb8_declined_not_crashed(self, lib):
+        """Grayscale/RGBA inputs return None (caller falls back to PIL)
+        instead of raising."""
+        assert native.encode_png_rgb8(np.zeros((8, 8), np.uint8)) is None
+        assert native.encode_png_rgb8(np.zeros((8, 8, 4), np.uint8)) is None
+
+    def test_save_image_grayscale_falls_back_to_pil(self, tmp_path):
+        from PIL import Image
+        arr = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
+        p = io_utils.save_image(arr, str(tmp_path / "g.png"))
+        back = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(
+            back, (np.clip(arr, 0, 1) * 255).astype(np.uint8))
+
     def test_save_image_uses_native_or_pil(self, tmp_path):
         from PIL import Image
         arr = np.random.default_rng(1).random((20, 30, 3)).astype(np.float32)
