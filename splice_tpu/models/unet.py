@@ -250,6 +250,14 @@ FORCE_FUSED_KERNELS_ON_CPU = False
 # /tmp-style driver: set unet.STRIDE2_PHASE_MODE = "major" before import
 # of the program, then run bench.py.
 STRIDE2_PHASE_MODE = "slice"
+# Stride-2 conv dispatch: "phase" = the shifted phase-dot formulation
+# (default); "lax" = XLA's native strided convolution, kept as an ablation
+# knob. lax.conv wins the isolated microbench decisively (2.0 vs 6.5 ms
+# fwd+bwd at the 898px stem) but LOSES end to end: 24.2 vs 25.5 steps/s
+# over a 200-step window (round 3, v5e). The spatial conv emitter's wins
+# are eaten by the layout transitions XLA inserts around the custom-call-
+# free dot graph it replaces — see PERFORMANCE.md negative results.
+STRIDE2_CONV_MODE = "phase"
 # The generator's channel counts (3..128) are tiny next to the TPU's
 # 128-lane registers: in NHWC, XLA keeps C in the lane dimension and pads it
 # to 128, wasting up to 8x of HBM traffic and littering the graph with
@@ -271,6 +279,17 @@ def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
         mode = "reflect" if pad == "reflection" else "constant"
         x = jnp.pad(x, ((0, 0), (0, 0), (to_pad, to_pad), (to_pad, to_pad)),
                     mode=mode)
+    if stride == 2 and STRIDE2_CONV_MODE == "lax":
+        # XLA's native strided convolution. Wins the isolated microbench
+        # (2.0 vs 6.5 ms fwd+bwd at the 898px stem, 1.6 vs 2.3 at 450px)
+        # but loses e2e (24.2 vs 25.5 steps/s) — kept as an ablation
+        # route only. Input already padded above, so padding="VALID".
+        out = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NCHW", "HWIO", "NCHW"))
+        if "bias" in p:
+            out = out + p["bias"].astype(out.dtype)[:, None, None]
+        return out
     if stride == 2:
         # Space-to-depth: phases xp[py,px][i,j] = x[2i+py, 2j+px]; the
         # stride-2 tap at (dy, dx) is phase (dy%2, dx%2) shifted by

@@ -153,6 +153,36 @@ def init_vit_params(key: jax.Array, cfg: VitConfig,
     return params
 
 
+def cast_params_for_compute(params: Dict[str, Any], compute_dtype
+                            ) -> Dict[str, Any]:
+    """Store the large frozen weights directly in the compute dtype.
+
+    With bf16 compute, fp32-stored dense kernels cost double: the block
+    scan slices 28 MB/block of fp32 weights per forward and then converts
+    each slice to bf16 at every use (profiled at ~2 ms/step, round-3 trace:
+    vit.py dot_general feed lines). The weights are frozen — there is no
+    optimizer needing an fp32 master copy — so storing the matmul operands
+    in bf16 halves that traffic and deletes the converts. Small/sensitive
+    tensors (LayerNorm affine, pos_embed used by fp32 interpolation,
+    cls/register tokens, LayerScale) stay fp32: they are cast to fp32 at
+    use anyway (_layer_norm) or feed fp32 math (interpolate_pos_embed).
+    """
+    if compute_dtype == jnp.float32:
+        return params
+    out = dict(params)
+    out["patch_embed"] = jax.tree.map(
+        lambda t: t.astype(compute_dtype), params["patch_embed"])
+    out["blocks"] = [
+        {**blk,
+         "attn": jax.tree.map(lambda t: t.astype(compute_dtype),
+                              blk["attn"]),
+         "mlp": jax.tree.map(lambda t: t.astype(compute_dtype),
+                             blk["mlp"])}
+        for blk in params["blocks"]
+    ]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------

@@ -23,10 +23,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Queries per grid step; full K/V kept in VMEM per (batch, head).
+# Target queries per grid step; full K/V kept in VMEM per (batch, head).
+# The actual block is shrunk to the smallest multiple of 8 that still covers
+# N in the same number of tiles (see _q_tiling): at N=785 a fixed BQ=256
+# pads the q axis to 1024 and wastes 23% of every dot and softmax pass on
+# rows that are sliced away afterwards; BQ=200 covers N in the same 4 tiles
+# with 2% padding. M-dim alignment costs nothing on the MXU (rows stream
+# through the systolic array; only the 8-sublane granularity matters).
 _BQ = 256
 # Above this padded length the full-K/V-in-VMEM plan stops fitting; fall back.
 _MAX_N_PAD = 4096
+
+
+def _q_tiling(n: int) -> Tuple[int, int]:
+    """(block_q, nq_pad): minimal 8-aligned q block covering n in
+    cdiv(n, _BQ) tiles."""
+    tiles = pl.cdiv(n, _BQ)
+    bq = pl.cdiv(pl.cdiv(n, tiles), 8) * 8
+    return bq, bq * tiles
 
 
 _HI = jax.lax.Precision.HIGHEST
@@ -51,59 +65,78 @@ def _xla_attention(q, k, v, scale):
 # Pallas forward kernel
 # ---------------------------------------------------------------------------
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+def _attn_kernel(q_ref, k_ref, v_ref, *refs, scale: float):
     """One (batch*head, q-block) grid cell.
 
     q_ref: [1, BQ, dh]; k_ref/v_ref: [1, N_pad, dh]; o_ref: [1, BQ, dh]
-    (leading dim is the size-1 batch*head block).
-    Padding columns (>= n_valid) are masked to -inf before softmax.
+    (leading dim is the size-1 batch*head block). bias_ref ([1, N_pad],
+    0 valid / -1e30 pad) masks the padding columns in ONE broadcast add —
+    the softmax is VPU-bound at these shapes, and the iota+compare+select
+    form costs three [BQ, N_pad] passes where the add costs one. The
+    division is deferred past the PV dot so it runs on [BQ, dh] instead of
+    [BQ, N_pad] (exp(l - m) <= 1, so the unnormalized bf16 probabilities
+    lose no range).
     """
+    bias_ref, o_ref = (refs if len(refs) == 2 else (None, refs[0]))
     q = q_ref[0]
     k = k_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale          # [BQ, N_pad]
-    n_pad = k.shape[0]
-    if n_valid < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < n_valid, logits, -jnp.inf)
+    if bias_ref is not None:
+        logits = logits + bias_ref[...]
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v_ref.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        p, v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+def _pad_mask_bias(n_valid: int, n_pad: int):
+    """[1, n_pad] additive mask row: 0 on valid columns, -1e30 on padding."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    return jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
 
 
 def _pallas_attention_fwd_impl(q, k, v, scale: float):
     B, H, N, dh = q.shape
     n_pad = pl.cdiv(N, 128) * 128
-    nq_pad = pl.cdiv(N, _BQ) * _BQ
+    bq, nq_pad = _q_tiling(N)
     qp = jnp.pad(q.reshape(B * H, N, dh), ((0, 0), (0, nq_pad - N), (0, 0)))
     kp = jnp.pad(k.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
     vp = jnp.pad(v.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
 
-    grid = (B * H, nq_pad // _BQ)
-    kernel = functools.partial(_attn_kernel, scale=float(scale), n_valid=N)
+    grid = (B * H, nq_pad // bq)
+    masked = N < n_pad
+    kernel = functools.partial(_attn_kernel, scale=float(scale))
     # Interpret mode lets the same kernel run in CPU tests
     # (tests/conftest.py forces JAX_PLATFORMS=cpu). On real TPU (including
     # the 'axon' tunnel platform) the kernel compiles via Mosaic.
     interpret = jax.default_backend() == "cpu"
+    in_specs = [
+        pl.BlockSpec((1, bq, dh), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, dh), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, dh), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qp, kp, vp]
+    if masked:
+        in_specs.append(pl.BlockSpec((1, n_pad), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pad_mask_bias(N, n_pad))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B * H, nq_pad, dh), q.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, _BQ, dh), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, dh), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, dh), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _BQ, dh), lambda b, i: (b, i, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, dh), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * N * N * dh,
             bytes_accessed=(3 * B * H * N * dh + B * H * N * dh)
@@ -111,7 +144,7 @@ def _pallas_attention_fwd_impl(q, k, v, scale: float):
             transcendentals=B * H * N * N,
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(*operands)
     return out[:, :N].reshape(B, H, N, dh)
 
 
@@ -119,8 +152,7 @@ def _pallas_attention_fwd_impl(q, k, v, scale: float):
 # Pallas backward kernel
 # ---------------------------------------------------------------------------
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                     dk_acc, dv_acc, *, scale: float, n_valid: int,
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, *refs, scale: float,
                      nq_tiles: int):
     """One (batch*head, q-block) grid cell of the attention backward.
 
@@ -132,8 +164,14 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
 
     Padded q rows carry zero cotangent (g is zero-padded), so their
     contributions to dk/dv vanish identically; padded k columns are masked
-    to -inf before the softmax, so their p (and thus dl) columns are zero.
+    via the additive bias row (see _attn_kernel), so their p (and thus dl)
+    columns are zero.
     """
+    if len(refs) == 6:
+        bias_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+    else:
+        bias_ref = None
+        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
     i = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
@@ -142,10 +180,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale          # [BQ, N]
-    n_pad = k.shape[0]
-    if n_valid < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < n_valid, logits, -jnp.inf)
+    if bias_ref is not None:
+        logits = logits + bias_ref[...]
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)               # fp32 [BQ, N]
@@ -188,35 +224,44 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
 def _pallas_attention_bwd_impl(q, k, v, g, scale: float):
     B, H, N, dh = q.shape
     n_pad = pl.cdiv(N, 128) * 128
-    nq_pad = pl.cdiv(N, _BQ) * _BQ
+    bq, nq_pad = _q_tiling(N)
     qp = jnp.pad(q.reshape(B * H, N, dh), ((0, 0), (0, nq_pad - N), (0, 0)))
     gp = jnp.pad(g.reshape(B * H, N, dh), ((0, 0), (0, nq_pad - N), (0, 0)))
     kp = jnp.pad(k.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
     vp = jnp.pad(v.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
-    nq_tiles = nq_pad // _BQ
+    nq_tiles = nq_pad // bq
+    masked = N < n_pad
     kernel = functools.partial(_attn_bwd_kernel, scale=float(scale),
-                               n_valid=N, nq_tiles=nq_tiles)
+                               nq_tiles=nq_tiles)
     interpret = jax.default_backend() == "cpu"
     kv_spec = pl.BlockSpec((1, n_pad, dh), lambda b, i: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-    bq_spec = pl.BlockSpec((1, _BQ, dh), lambda b, i: (b, i, 0),
+    bq_spec = pl.BlockSpec((1, bq, dh), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
+    in_specs = [bq_spec, kv_spec, kv_spec, bq_spec]
+    operands = [qp, kp, vp, gp]
+    if masked:
+        in_specs.append(pl.BlockSpec((1, n_pad), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pad_mask_bias(N, n_pad))
     dq_p, dk_p, dv_p = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((B * H, nq_pad, dh), q.dtype),
                    jax.ShapeDtypeStruct((B * H, n_pad, dh), k.dtype),
                    jax.ShapeDtypeStruct((B * H, n_pad, dh), v.dtype)),
         grid=(B * H, nq_tiles),
-        in_specs=[bq_spec, kv_spec, kv_spec, bq_spec],
+        in_specs=in_specs,
         out_specs=(bq_spec, kv_spec, kv_spec),
         scratch_shapes=[pltpu.VMEM((n_pad, dh), jnp.float32),
                         pltpu.VMEM((n_pad, dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=10 * B * H * N * N * dh,
             bytes_accessed=7 * B * H * N * dh * q.dtype.itemsize,
             transcendentals=B * H * N * N),
         interpret=interpret,
-    )(qp, kp, vp, gp)
+    )(*operands)
     return (dq_p[:, :N].reshape(B, H, N, dh),
             dk_p[:, :N].reshape(B, H, N, dh),
             dv_p[:, :N].reshape(B, H, N, dh))

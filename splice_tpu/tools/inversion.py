@@ -82,9 +82,13 @@ def invert(image_path: str, save_path: str, feature: str = "cls",
     base_noise = jax.random.normal(k_noise, (1, h, w, input_depth))
 
     def preprocess(x):
-        y = img_ops.resize(x, (224, 224) if min(h, w) == 224 else
-                           img_ops.dino_resize_shape(x.shape[1], x.shape[2],
-                                                     224, None))
+        # Aspect-preserving Resize(224), no max_size (reference
+        # inversion.py:29-31): identity when the shorter side is already
+        # 224 — load_image(resize=224) guarantees that, so a 224x300
+        # input flows through the ViT at 224x300, not squashed square.
+        shape = img_ops.dino_resize_shape(x.shape[1], x.shape[2], 224, None)
+        y = x if shape == (x.shape[1], x.shape[2]) else \
+            img_ops.resize(x, shape)
         return img_ops.imagenet_normalize(y)
 
     def extract(vp, x):
@@ -180,7 +184,10 @@ def invert(image_path: str, save_path: str, feature: str = "cls",
     saver.close()
     save_image(np.asarray(out), save_path)
     return {"loss": float(loss) if loss is not None else None,
-            "wall_time": time.perf_counter() - t0, "params": params}
+            "wall_time": time.perf_counter() - t0, "params": params,
+            # geometry the frozen ViT actually saw (aspect-preserving
+            # Resize(224), reference inversion.py:29-31)
+            "dino_input_hw": img_ops.dino_resize_shape(h, w, 224, None)}
 
 
 def main():

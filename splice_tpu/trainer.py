@@ -389,6 +389,10 @@ def make_extractor_from_config(cfg: Config,
                                      seed=seed)
     dtype = jnp.bfloat16 if cfg.vit_compute_dtype == "bfloat16" \
         else jnp.float32
+    # Frozen weights stored in the compute dtype: halves the per-step HBM
+    # traffic of the block scan's weight slices (see
+    # vit.cast_params_for_compute).
+    params = vit_lib.cast_params_for_compute(params, dtype)
     return ext_lib.VitExtractor(
         params=params, cfg=vcfg, model_name=cfg.dino_model_name,
         compute_dtype=dtype, use_pallas=cfg.use_pallas_attention,

@@ -65,6 +65,24 @@ class TestInversionTool:
                      resize=48, input_depth=8)
         assert np.isfinite(res["loss"])
 
+    def test_invert_preserves_aspect_ratio(self, tmp_path):
+        """A non-square input must flow through the ViT aspect-preserved
+        (reference inversion.py:29-31 T.Resize(224) has no max_size and
+        never squashes) — regression for the (224, 224) literal that
+        distorted every non-square image (round-2 VERDICT missing #5)."""
+        from PIL import Image
+        from splice_tpu.tools.inversion import invert
+        src = tmp_path / "wide.png"
+        rng = np.random.default_rng(0)
+        Image.fromarray(rng.integers(0, 255, (64, 88, 3), dtype=np.uint8)
+                        ).save(src)
+        res = invert(str(src), str(tmp_path / "inv_wide.png"),
+                     feature="keys", layer=0, dino_model_name="_tool_tiny",
+                     n_iter=2, log_freq=1, resize=64, input_depth=8)
+        # shorter side -> 224, longer side scales: 224 * 88 / 64 = 308
+        assert res["dino_input_hw"] == (224, 308)
+        assert np.isfinite(res["loss"])
+
 
 class TestModelWrapper:
     def test_reference_forward_surface(self):
