@@ -87,12 +87,17 @@ class VitExtractor:
     use_pallas: bool = False
     remat: bool = False
     tp_axis: Any = None      # mesh axis name for ViT tensor parallelism
+    # mesh axis name for MANUAL tp inside a fully-manual shard_map region
+    # (params must be the permuted local slices; keeps Pallas kernels alive
+    # under tp>1 — see vit._block tp_manual)
+    tp_manual: Any = None
 
     def _run(self, images, taps, final_norm=False):
         return vit_lib.vit_forward(
             self.params, images, self.cfg, taps,
             compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
-            remat=self.remat, final_norm=final_norm, tp_axis=self.tp_axis)
+            remat=self.remat, final_norm=final_norm, tp_axis=self.tp_axis,
+            tp_manual=self.tp_manual)
 
     # -- geometry helpers (reference extractor.py:105-130) --
     def get_patch_size(self) -> int:

@@ -203,6 +203,56 @@ def _dense(x, p):
     return y + p["bias"].astype(y.dtype)
 
 
+def _dense_rowparallel(x, p, axis: str):
+    """Row-parallel dense for manual tensor parallelism: the kernel's INPUT
+    dim is sharded over `axis`, so the local dot yields a partial sum;
+    psum completes it, and the (replicated) bias is added once, after."""
+    y = jax.lax.dot_general(
+        x, p["kernel"].astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+        precision=_HI)
+    y = jax.lax.psum(y, axis)
+    return y + p["bias"].astype(y.dtype)
+
+
+def _tp_allcat(local: jax.Array, shard_axis: int, tp: int, axis: str
+               ) -> jax.Array:
+    """Concatenate per-shard slices along `shard_axis` across the manual
+    mesh axis `axis`, as an INVARIANT output: each shard embeds its slice
+    into zeros at its slot and a psum assembles the full array. psum (not
+    all_gather) because its output is invariant over `axis` under VMA
+    tracking — everything computed from the gathered taps (losses, grads)
+    then stays invariant, which the enclosing shard_map's replicated
+    out_specs require."""
+    idx = jax.lax.axis_index(axis)
+    shape = list(local.shape)
+    shape[shard_axis] = shape[shard_axis] * tp
+    full = jnp.zeros(shape, local.dtype)
+    start = [jnp.int32(0)] * len(shape)
+    start[shard_axis] = idx * local.shape[shard_axis]
+    full = jax.lax.dynamic_update_slice(full, local, start)
+    return jax.lax.psum(full, axis)
+
+
+def _tp_gather_qkv(qkv_local: jax.Array, cfg: "VitConfig", axis: str
+                   ) -> jax.Array:
+    """Reassemble the full [B, N, 3D] qkv tap from per-shard local slices.
+
+    Manual-tp params are column-permuted shard-major (mesh.py
+    manual_tp_permute_vit_params), so the local slice is [q_l | k_l | v_l]
+    over the shard's own heads. Regrouping: [B,N,3,Hl,dh] concat over
+    shards on the head axis gives global head order, then q|k|v-major
+    reshape restores the reference layout (reference extractor.py:139-144
+    consumers index it as [N, 3, H, dh])."""
+    B, N, threeDl = qkv_local.shape
+    dh = cfg.head_dim
+    hl = threeDl // 3 // dh
+    tp = cfg.num_heads // hl
+    local = qkv_local.reshape(B, N, 3, hl, dh)
+    full = _tp_allcat(local, 3, tp, axis)           # [B,N,3,H,dh] head-major
+    # [B,N,3,H,dh] -> [B,N,3D] is a plain reshape: q|k|v major, heads within
+    return full.reshape(B, N, 3 * cfg.embed_dim)
+
+
 def _layer_norm(x, p, eps):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -266,12 +316,20 @@ def interpolate_pos_embed(pos_embed: jax.Array, cfg: VitConfig,
 
 
 def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
-           tp_axis: Optional[str] = None):
+           tp_axis: Optional[str] = None, tp_manual: Optional[str] = None):
     """One pre-LN transformer block. Returns (x_out, taps dict).
 
-    tp_axis: mesh axis name for Megatron-style tensor parallelism — heads
-    sharded in attention, hidden dim sharded in the MLP; GSPMD inserts the
-    row-parallel all-reduces after proj/fc2.
+    tp_axis: mesh axis name for Megatron-style tensor parallelism in a
+    GSPMD-auto region — heads sharded in attention, hidden dim sharded in
+    the MLP; XLA inserts the row-parallel all-reduces after proj/fc2.
+
+    tp_manual: mesh axis name for MANUAL tensor parallelism inside a
+    fully-manual shard_map region (Pallas kernels cannot sit in GSPMD-auto
+    regions, so tp_axis would force the XLA attention fallback — this path
+    keeps the custom kernels; round-2 VERDICT next #4). Params must be the
+    column-permuted local slices (mesh.py manual_tp_permute_vit_params +
+    vit_param_pspecs): the block computes its local heads / local MLP
+    hidden and explicitly psums after proj and fc2.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -282,11 +340,13 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
 
     taps = {}
     h = _layer_norm(x, bp["norm1"], cfg.ln_eps)
-    qkv = _dense(h, bp["attn"]["qkv"])                           # [B,N,3D]
+    qkv = _dense(h, bp["attn"]["qkv"])              # [B, N, 3*D/tp] local
     if "qkv" in want:
-        taps["qkv"] = qkv
+        taps["qkv"] = (_tp_gather_qkv(qkv, cfg, tp_manual)
+                       if tp_manual else qkv)
     B, N, _ = qkv.shape
-    Hn, dh = cfg.num_heads, cfg.head_dim
+    dh = cfg.head_dim
+    Hn = qkv.shape[-1] // 3 // dh     # local head count under manual tp
     q, k, v = [tp(t.reshape(B, N, Hn, dh).transpose(0, 2, 1, 3),
                   (None, tp_axis, None, None))
                for t in jnp.split(qkv, 3, axis=-1)]              # [B,H,N,dh]
@@ -296,14 +356,19 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
         # reference's ATTN tap, extractor.py:44); slow path.
         logits = (q.astype(jnp.float32) @
                   k.astype(jnp.float32).transpose(0, 1, 3, 2)) * scale
-        probs = jax.nn.softmax(logits, axis=-1)
-        taps["attn_probs"] = probs
+        probs = jax.nn.softmax(logits, axis=-1)            # local heads
         o = (probs @ v.astype(jnp.float32)).astype(x.dtype)
+        if tp_manual:
+            probs = _tp_allcat(probs, 1, cfg.num_heads // Hn, tp_manual)
+        taps["attn_probs"] = probs
     else:
         o = attn_ops.multi_head_attention(q, k, v, scale,
                                           use_pallas=use_pallas)
-    o = o.transpose(0, 2, 1, 3).reshape(B, N, cfg.embed_dim)
-    o = _dense(o, bp["attn"]["proj"])
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, Hn * dh)
+    if tp_manual:
+        o = _dense_rowparallel(o, bp["attn"]["proj"], tp_manual)
+    else:
+        o = _dense(o, bp["attn"]["proj"])
     if "attn_out" in want:
         taps["attn_out"] = o                                      # PATCH_IMD tap
     if "ls1" in bp:
@@ -312,7 +377,10 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
     h = _layer_norm(x, bp["norm2"], cfg.ln_eps)
     h = tp(_dense(h, bp["mlp"]["fc1"]), (None, None, tp_axis))
     h = jax.nn.gelu(h, approximate=False)
-    h = _dense(h, bp["mlp"]["fc2"])
+    if tp_manual:
+        h = _dense_rowparallel(h, bp["mlp"]["fc2"], tp_manual)
+    else:
+        h = _dense(h, bp["mlp"]["fc2"])
     if "ls2" in bp:
         h = h * bp["ls2"].astype(h.dtype)
     x = x + h
@@ -334,7 +402,8 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
                 use_pallas: bool = False,
                 remat: bool = False,
                 final_norm: bool = False,
-                tp_axis: Optional[str] = None
+                tp_axis: Optional[str] = None,
+                tp_manual: Optional[str] = None
                 ) -> Dict[str, Dict[int, jax.Array]]:
     """Run the frozen ViT and return the requested feature taps.
 
@@ -388,7 +457,7 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
         # ViT time); dots-saveable keeps the FLOP-heavy results while still
         # dropping the big intermediate activations.
         block_fn = jax.checkpoint(
-            _block, static_argnums=(2, 3, 4, 5),
+            _block, static_argnums=(2, 3, 4, 5, 6),
             policy=jax.checkpoint_policies.save_from_both_policies(
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                 jax.checkpoint_policies.save_only_these_names(
@@ -409,7 +478,7 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
                                *params["blocks"][:n_scan])
 
         def scan_body(h, bp):
-            h, _ = block_fn(h, bp, cfg, use_pallas, (), tp_axis)
+            h, _ = block_fn(h, bp, cfg, use_pallas, (), tp_axis, tp_manual)
             return h, None
 
         x, _ = jax.lax.scan(scan_body, x, stacked)
@@ -417,7 +486,7 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
     for i in range(start, max_layer + 1):
         want = tuple(sorted(k for k, layers in taps.items() if i in layers))
         x, btaps = block_fn(x, params["blocks"][i], cfg, use_pallas, want,
-                            tp_axis)
+                            tp_axis, tp_manual)
         for k, v in btaps.items():
             out[k][i] = v
     if final_norm:

@@ -256,7 +256,8 @@ def gaussian_blur3(img: jax.Array, sigma: jax.Array) -> jax.Array:
 
 
 def random_gaussian_blur3(img: jax.Array, key: jax.Array,
-                          p: float = 0.2) -> jax.Array:
+                          p: float = 0.2,
+                          static_ctrl: bool = True) -> jax.Array:
     """RandomApply(GaussianBlur(3), p) with sigma ~ U(0.1, 2.0)
     (torchvision default sigma range).
 
@@ -264,24 +265,42 @@ def random_gaussian_blur3(img: jax.Array, key: jax.Array,
     skipped, so the full-image separable blur (~3 ms/step at 900px,
     profiled as the hottest augmentation op) only runs on the ~p of steps
     that actually use it. Under vmap (multi-pair) cond lowers back to
-    select and both branches run — same cost as before, no worse."""
+    select and both branches run — same cost as before, no worse.
+
+    static_ctrl=False uses the compute-then-where form directly: the
+    multi-pair path vmaps this over pairs (cond -> select anyway, so no
+    extra cost) and its check_vma=True shard_map region trips a jax-0.9.0
+    cond/vma unification bug ("pvary is a invariant->variant collective"
+    on an operand already varying)."""
     k_apply, k_sigma = jax.random.split(key)
     sigma = jax.random.uniform(k_sigma, (), minval=0.1, maxval=2.0)
-    return jax.lax.cond(jax.random.bernoulli(k_apply, p),
+    apply = jax.random.bernoulli(k_apply, p)
+    if not static_ctrl:
+        return jnp.where(apply, gaussian_blur3(img, sigma), img)
+    return jax.lax.cond(apply,
                         lambda im: gaussian_blur3(im, sigma),
                         lambda im: im, img)
 
 
-def structure_augment(img: jax.Array, key: jax.Array) -> jax.Array:
+def structure_augment(img: jax.Array, key: jax.Array,
+                      static_ctrl: bool = True) -> jax.Array:
     """dino_structure_transforms (reference transforms.py:30-37):
     HFlip(0.5) -> ColorJitter(0.4,0.4,0.2,0.1)@p=0.5 -> GaussianBlur(3)@p=0.2.
+
+    static_ctrl: see random_gaussian_blur3 — False swaps lax.cond gates
+    for compute-then-where (needed under check_vma shard_map regions on
+    jax 0.9.0; identical numerics, tested).
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     img = random_hflip(img, k1)
-    img = jax.lax.cond(jax.random.bernoulli(k3, 0.5),
-                       lambda im: color_jitter(im, k2),
-                       lambda im: im, img)
-    img = random_gaussian_blur3(img, k4)
+    jitter_on = jax.random.bernoulli(k3, 0.5)
+    if static_ctrl:
+        img = jax.lax.cond(jitter_on,
+                           lambda im: color_jitter(im, k2),
+                           lambda im: im, img)
+    else:
+        img = jnp.where(jitter_on, color_jitter(img, k2), img)
+    img = random_gaussian_blur3(img, k4, static_ctrl=static_ctrl)
     return img
 
 

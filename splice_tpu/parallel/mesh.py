@@ -70,6 +70,38 @@ def shard_vit_params(params, mesh: Mesh):
         params, specs)
 
 
+def manual_tp_permute_vit_params(params, cfg, tp: int):
+    """Column-permute the fused qkv weights shard-major for MANUAL tensor
+    parallelism (vit._block tp_manual).
+
+    The stored qkv kernel is [D, 3D] with columns [q(all heads) | k | v].
+    A contiguous P(None, 'tp') slice of that mixes q/k/v of unrelated
+    heads; manual shard_map needs each shard's slice to be its own
+    [q_local | k_local | v_local] over a head GROUP. Regrouping
+    [D,3,H,dh] -> [D,tp,3,H/tp,dh] makes the contiguous 1/tp column chunk
+    exactly that. proj/fc1/fc2 need no permute: proj's input rows are
+    already head-major, fc1/fc2's hidden dim is homogeneous.
+    """
+    if tp == 1:
+        return params
+    H, dh, D = cfg.num_heads, cfg.head_dim, cfg.embed_dim
+    if H % tp:
+        raise ValueError(f"manual tp={tp} must divide num_heads={H}")
+
+    def permute_block(blk):
+        qkv = blk["attn"]["qkv"]
+        k = qkv["kernel"].reshape(D, 3, tp, H // tp, dh) \
+            .transpose(0, 2, 1, 3, 4).reshape(D, 3 * D)
+        b = qkv["bias"].reshape(3, tp, H // tp, dh) \
+            .transpose(1, 0, 2, 3).reshape(3 * D)
+        return {**blk, "attn": {**blk["attn"],
+                                "qkv": {"kernel": k, "bias": b}}}
+
+    out = dict(params)
+    out["blocks"] = [permute_block(b) for b in params["blocks"]]
+    return out
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

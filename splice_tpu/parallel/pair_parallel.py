@@ -11,9 +11,11 @@ spmd_axis_name="dp", so every pair-stacked tensor — generator params,
 optimizer state, crops, ViT activations' batch dim — is sharded over dp by
 GSPMD. The frozen ViT params are replicated over dp and (optionally)
 Megatron-sharded over tp, so a big pair batch can also split each ViT
-matmul across chips. No hand-written collectives: pairs are independent, so
-dp needs none, and tp's all-reduces are inserted by XLA from the sharding
-constraints in splice_tpu/models/vit.py.
+matmul across chips. Pairs are independent, so dp needs no collectives;
+tp > 1 runs the ViT's MANUAL tensor-parallel path (vit._block tp_manual:
+local head/hidden slices + explicit psums after proj/fc2) inside the
+fully-manual shard_map region so the Pallas attention/conv kernels stay
+live — a GSPMD-auto tp axis would force their XLA fallbacks.
 """
 from __future__ import annotations
 
@@ -66,22 +68,30 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
                                     conv_impl=cfg.generator_conv)
     else:
         g_apply = unet.skip_apply
-    extractor = dataclasses.replace(
-        extractor, tp_axis="tp" if mesh.shape["tp"] > 1 else None)
-    # Mosaic (Pallas) kernels cannot sit in an auto-partitioned region.
-    # With tp == 1 the whole step can be manual on both axes, so the Pallas
-    # attention kernel is usable; with tp > 1 the ViT matmuls rely on
-    # GSPMD auto-sharding (Megatron constraints), so attention falls back
-    # to the XLA path, which partitions cleanly over heads.
-    manual_axes = {"dp", "tp"} if mesh.shape["tp"] == 1 else {"dp"}
-    if mesh.shape["tp"] > 1:
-        extractor = dataclasses.replace(extractor, use_pallas=False)
-        # Same constraint for the generator: conv_impl auto/pallas could
-        # emit Mosaic conv kernels (large canvases) inside the tp-auto
-        # region — force the pure-XLA formulation there.
-        if cfg.generator_layout == "chw":
-            g_apply = functools.partial(unet.skip_apply_chw,
-                                        conv_impl="xla")
+    # The whole step is MANUAL over both axes (Mosaic/Pallas kernels cannot
+    # sit in a GSPMD-auto region, so an auto tp axis would force the XLA
+    # attention/conv fallbacks — the round-2 formulation). With tp > 1 the
+    # ViT runs its manual-tp path: params are column-permuted local head /
+    # hidden slices (mesh.manual_tp_permute_vit_params) and the block
+    # psums after proj/fc2; the Pallas attention kernel runs on the local
+    # head slice. Gradient correctness across the replicated-over-tp
+    # generator relies on shard_map's varying-manual-axes tracking
+    # (check_vma=True) inserting the psums at invariant->varying
+    # boundaries in the transpose.
+    manual_axes = {"dp", "tp"}
+    tp_size = mesh.shape["tp"]
+    check_vma = tp_size > 1
+    vit_in_spec = P()
+    if tp_size > 1:
+        pparams = mesh_lib.manual_tp_permute_vit_params(
+            extractor.params, extractor.cfg, tp_size)
+        specs = mesh_lib.vit_param_pspecs(pparams)
+        pparams = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            pparams, specs)
+        extractor = dataclasses.replace(extractor, params=pparams,
+                                        tp_axis=None, tp_manual="tp")
+        vit_in_spec = specs
 
     def transform(x):
         y = img_ops.dino_global_resize(
@@ -95,7 +105,10 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
         ext = dataclasses.replace(extractor, params=vit_params)
         kAa, kAc, kBa, kBc = jax.random.split(key, 4)
         if cfg.use_augmentations:
-            A_aug = img_ops.structure_augment(A, kAa)
+            # static_ctrl=False: this runs vmapped over pairs (cond would
+            # lower to select anyway) inside a check_vma shard_map region,
+            # where jax-0.9.0's cond/vma unification is buggy.
+            A_aug = img_ops.structure_augment(A, kAa, static_ctrl=False)
             B_aug = img_ops.texture_augment(B, kBa)
         else:
             A_aug, B_aug = A, B
@@ -143,12 +156,12 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
         parts["loss"] = total
         return {"params": params, "opt_state": opt_state}, parts
 
-    # dp is a *manual* shard_map axis: each device runs the plain per-pair
-    # step over its local slice of pairs (they're independent — zero dp
-    # collectives), while tp stays an *auto* GSPMD axis so the ViT's
-    # Megatron sharding constraints still partition each matmul. A pure
-    # spmd_axis_name=vmap formulation trips XLA's partitioner on the
-    # grouped convs that batching per-pair generator kernels produces.
+    # Both axes are *manual* shard_map axes: each device runs the plain
+    # per-pair step over its local slice of pairs (independent — zero dp
+    # collectives), and with tp > 1 the ViT's manual-tp path psums across
+    # head/hidden shards explicitly. A pure spmd_axis_name=vmap formulation
+    # trips XLA's partitioner on the grouped convs that batching per-pair
+    # generator kernels produces.
     def local_step(states, vit_params, As, Bs, step_idx, base_key, lam,
                    entire: bool):
         L = As.shape[0]                      # pairs on this device
@@ -166,9 +179,10 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
     def jit_step(entire):
         fn = jax.shard_map(
             functools.partial(local_step, entire=entire), mesh=mesh,
-            in_specs=(P("dp"), P(), P("dp"), P("dp"), P(), P(), P()),
+            in_specs=(P("dp"), vit_in_spec, P("dp"), P("dp"),
+                      P(), P(), P()),
             out_specs=(P("dp"), P("dp")),
-            axis_names=manual_axes, check_vma=False)
+            axis_names=manual_axes, check_vma=check_vma)
         jitted = jax.jit(fn, donate_argnums=(0,))
         return lambda states, As, Bs, i, k, lam: \
             jitted(states, vparams, As, Bs, i, k, lam)
@@ -191,9 +205,10 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
         if n not in _jit_chunks:
             fn = jax.shard_map(
                 functools.partial(local_chunk, n=n), mesh=mesh,
-                in_specs=(P("dp"), P(), P("dp"), P("dp"), P(), P(), P()),
+                in_specs=(P("dp"), vit_in_spec, P("dp"), P("dp"),
+                          P(), P(), P()),
                 out_specs=(P("dp"), P("dp")),
-                axis_names=manual_axes, check_vma=False)
+                axis_names=manual_axes, check_vma=check_vma)
             _jit_chunks[n] = jax.jit(fn, donate_argnums=(0,))
         return _jit_chunks[n](states, vparams, As, Bs, start_idx, base_key,
                               lam)
@@ -203,7 +218,7 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
             jax.vmap(lambda p, a: unet.skip_apply(p, gcfg, a[None])[0]
                      )(ps, As), 0.0, 1.0),
         mesh=mesh, in_specs=(P("dp"), P("dp")), out_specs=P("dp"),
-        axis_names=manual_axes, check_vma=False)
+        axis_names=manual_axes, check_vma=check_vma)
     render = jax.jit(render_local)
     # uint8 on device: periodic per-pair output dumps transfer 4x less
     # through a remote-TPU tunnel (same rationale as the single-pair

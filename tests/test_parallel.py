@@ -62,6 +62,79 @@ class TestTensorParallelVit:
                                    atol=1e-5, rtol=1e-5)
 
 
+class TestManualTensorParallelVit:
+    """Manual-tp path (vit._block tp_manual): local head/hidden slices with
+    explicit psums inside a fully-manual shard_map region, Pallas attention
+    ENABLED — the formulation that keeps the custom kernels alive under
+    tp>1 (round-2 VERDICT next #4), vs the GSPMD-auto path that forced the
+    XLA fallback."""
+
+    def _run_manual(self, cfg, params, img, tp, use_pallas):
+        from jax.sharding import PartitionSpec as P
+        mesh = mesh_lib.make_mesh(dp=1, tp=tp)
+        pparams = mesh_lib.manual_tp_permute_vit_params(params, cfg, tp)
+        specs = mesh_lib.vit_param_pspecs(pparams)
+
+        def local(p, x):
+            def loss(xx):
+                out = vit_lib.vit_forward(
+                    p, xx, cfg, taps={"qkv": (1,), "block": (1,)},
+                    use_pallas=use_pallas,
+                    tp_manual="tp" if tp > 1 else None)
+                return (jnp.sum(out["qkv"][1].astype(jnp.float32) ** 2)
+                        + jnp.sum(out["block"][1].astype(jnp.float32) ** 2),
+                        out)
+            (l, out), g = jax.value_and_grad(loss, has_aux=True)(x)
+            return l, g, out["qkv"][1], out["block"][1]
+
+        fn = jax.shard_map(local, mesh=mesh, in_specs=(specs, P()),
+                           out_specs=(P(), P(), P(), P()),
+                           axis_names={"dp", "tp"}, check_vma=tp > 1)
+        with jax.set_mesh(mesh):
+            return jax.jit(fn)(pparams, img)
+
+    @pytest.mark.parametrize("tp", [2, 8])
+    def test_manual_tp_matches_tp1_with_pallas(self, tp):
+        """Forward taps AND input gradients: tp>1 manual == tp=1, both with
+        use_pallas=True. The gradient check covers the psum/transpose
+        machinery the training step depends on (the generator's grads flow
+        through these ViT forwards, reference losses.py:81,90,103)."""
+        cfg = tiny_cfg()
+        params = vit_lib.init_vit_params(jax.random.PRNGKey(0), cfg)
+        img = jnp.asarray(np.random.default_rng(3)
+                          .standard_normal((2, 32, 32, 3)), jnp.float32)
+        l1, g1, qkv1, blk1 = self._run_manual(cfg, params, img, 1, True)
+        l2, g2, qkv2, blk2 = self._run_manual(cfg, params, img, tp, True)
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(qkv2), np.asarray(qkv1),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(blk2), np.asarray(blk1),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_permute_roundtrip_layout(self):
+        """The shard-major column permute keeps q|k|v-major global layout
+        when local slices are re-concatenated shard-major (the exact
+        reassembly _tp_gather_qkv performs)."""
+        cfg = tiny_cfg()
+        params = vit_lib.init_vit_params(jax.random.PRNGKey(1), cfg)
+        tp = 4
+        pp = mesh_lib.manual_tp_permute_vit_params(params, cfg, tp)
+        D, H, dh = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+        k = np.asarray(params["blocks"][0]["attn"]["qkv"]["kernel"])
+        kp = np.asarray(pp["blocks"][0]["attn"]["qkv"]["kernel"])
+        # local slice s columns regrouped [3, H/tp, dh] must equal the
+        # original's per-head blocks for heads s*H/tp..(s+1)*H/tp
+        hl = H // tp
+        orig = k.reshape(D, 3, H, dh)
+        for s in range(tp):
+            loc = kp[:, s * 3 * hl * dh:(s + 1) * 3 * hl * dh]
+            loc = loc.reshape(D, 3, hl, dh)
+            np.testing.assert_array_equal(
+                loc, orig[:, :, s * hl:(s + 1) * hl])
+
+
 class TestGraftEntry:
     def test_entry_jits(self):
         from __graft_entry__ import entry
