@@ -197,7 +197,13 @@ def build_multi_pair_program(cfg: Config, extractor: ext_lib.VitExtractor,
                               base_key, lam, entire=False)
 
         states, parts_seq = jax.lax.scan(body, states, jnp.arange(n))
-        return states, jax.tree.map(lambda x: x[-1], parts_seq)
+        parts = jax.tree.map(lambda x: x[-1], parts_seq)
+        # Every step's per-pair total, pair-major ([L, n] so the uniform
+        # P("dp") out-spec shards the pair axis): the plateau scheduler
+        # observes each step, not just chunk tails (same rationale as the
+        # single-pair trainer's loss_seq).
+        parts["loss_seq"] = parts_seq["loss"].T
+        return states, parts
 
     _jit_chunks: Dict[int, Callable] = {}
 
@@ -287,20 +293,17 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
     output.png + metrics.jsonl under each pair's dataroot (reference
     train.py:70-76 cadence, per pair), checkpoint/resume of the stacked
     states, per-pair PRNG streams (global pair id folded into the step
-    key), and linear/step/cosine LR schedules on device. The plateau
-    scheduler needs per-pair host feedback and is not supported here.
+    key), linear/step/cosine LR schedules on device, and a per-pair
+    plateau scheduler on host (each pair's lr rides in its own slice of
+    the stacked opt_state hyperparams; the chunk's loss_seq feeds every
+    step's per-pair loss back, chunks capped at patience+1 — the same
+    cadence contract as the single-pair loop).
     """
     import time
 
     from splice_tpu import trainer
     from splice_tpu.utils.io import AsyncImageSaver
     from splice_tpu.utils.metrics import MetricsLogger, StepTimer
-
-    if cfg.scheduler_policy == "plateau":
-        raise ValueError(
-            "scheduler_policy='plateau' is not supported in multi-pair "
-            "mode (needs per-pair host feedback); use "
-            "linear/step/cosine/none")
 
     trainer.setup_compile_cache(cfg)
     n_pairs = len(dataroots)
@@ -346,6 +349,8 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
     key = jax.random.PRNGKey(seed)
     k_init, k_steps = jax.random.split(key)
     states = program.init_states(k_init, n_pairs)
+    sched = trainer.MultiPairScheduler(cfg, n_pairs)
+    plateau = cfg.scheduler_policy == "plateau"
     start_step = 0
     ckpt = None
     if cfg.checkpoint_every and cfg.checkpoint_dir:
@@ -356,8 +361,24 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
         rck = Checkpointer(cfg.resume_from)
         step0 = rck.latest_step()
         if step0 is not None:
-            host = rck.restore(step0,
-                               template=jax.tree.map(np.asarray, states))
+            # The template is FULL host arrays ([P, ...] per leaf), so the
+            # device_put below re-shards onto THIS run's mesh — a dp=4
+            # checkpoint restores onto dp=2 or dp=8 (elastic re-sharding).
+            template = jax.tree.map(np.asarray, states)
+            if plateau:
+                # Per-pair plateau (factor/best/patience) rides in the
+                # checkpoint — same contract as the single-pair trainer.
+                try:
+                    host = rck.restore(
+                        step0,
+                        template={**template, "sched": sched.state_dict()})
+                    sched.load_state_dict(host.pop("sched"))
+                except Exception:
+                    host = rck.restore(step0, template=template)
+                    print("warning: checkpoint has no scheduler state; "
+                          "plateau lr restarts from the base lr")
+            else:
+                host = rck.restore(step0, template=template)
             states = jax.device_put(host, dp_shard)
             start_step = step0
             print(f"resumed {n_pairs} pairs from {cfg.resume_from} "
@@ -367,7 +388,6 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
                for r in dataroots]
     saver = AsyncImageSaver()
     timer = StepTimer()
-    sched = trainer.Scheduler(cfg)
 
     total = n_steps if n_steps is not None else cfg.n_epochs
     t0 = time.perf_counter()
@@ -389,12 +409,17 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
         if ckpt is not None:
             k = (i + cfg.checkpoint_every) // cfg.checkpoint_every
             cands.append(k * cfg.checkpoint_every)
+        if plateau:
+            # Host feedback cadence: an lr cut only applies from the next
+            # dispatch — cap chunks at patience+1 so the cut lands within
+            # one patience window (single-pair boundaries_after policy).
+            cands.append(i + trainer.PLATEAU_PATIENCE + 1)
         return min(c for c in cands if c > i)
 
     def log_boundary(step_idx: int, final: bool = False) -> None:
         outs_u8 = program.render_u8(states["params"], As)
         keys, mat = _fetch_parts_matrix(parts)
-        lr = sched.lr_for_step(step_idx - 1)
+        lrs = sched.lr_for_step(step_idx - 1)
         rate = timer.rate()
         outs_host = np.asarray(outs_u8)   # one [P,H,W,3] u8 transfer
         for p, root in enumerate(dataroots):
@@ -405,12 +430,22 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
             loggers[p].log(step_idx - 1,
                            {**{k: float(mat[j, p])
                                for j, k in enumerate(keys)},
-                            "lr": lr, "steps_per_sec": rate})
+                            "lr": float(lrs[p]), "steps_per_sec": rate})
 
     with jax.set_mesh(mesh):
         step_idx = start_step
         while step_idx < total:
             lam = jnp.asarray(trainer.lambdas_vec(cfg, step_idx))
+            if plateau:
+                # Per-pair lr written into each pair's slice of the stacked
+                # opt_state hyperparams ([P] leaf, dp-sharded) — the same
+                # inject_hyperparams override the single-pair loop uses,
+                # just vectorized. linear/step/cosine compute lr in-trace
+                # (device_lr_fn) and skip this host write.
+                states["opt_state"].hyperparams["learning_rate"] = \
+                    jax.device_put(
+                        jnp.asarray(sched.lr_for_step(step_idx),
+                                    jnp.float32), dp_shard)
             if losses_lib.is_entire_step(cfg, step_idx):
                 states, parts = program.step_entire(
                     states, As, Bs, jnp.int32(step_idx), k_steps, lam)
@@ -421,12 +456,19 @@ def train_pairs(cfg: Config, dataroots: Sequence[str], image_hw: int = 224,
                     states, As, Bs, jnp.int32(step_idx), k_steps, lam, n)
             step_idx += n
             timer.tick(n)
-            if parts is not None:
-                parts.pop("loss_seq", None)
+            loss_seq = parts.pop("loss_seq", None)       # [P, n] pair-major
+            if plateau:
+                if loss_seq is not None:
+                    mat = np.asarray(loss_seq)
+                    for t in range(mat.shape[1]):
+                        sched.observe(mat[:, t])
+                else:
+                    sched.observe(np.asarray(parts["loss"]))
             if step_idx % cfg.log_images_freq == 0 or step_idx >= total:
                 log_boundary(step_idx, final=step_idx >= total)
             if ckpt is not None and step_idx % cfg.checkpoint_every == 0:
-                ckpt.save(step_idx, states)
+                ckpt.save(step_idx, {**states, "sched": sched.state_dict()}
+                          if plateau else states)
         outs = program.render(states["params"], As)
         outs.block_until_ready()
         if parts is None:

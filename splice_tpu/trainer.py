@@ -125,6 +125,55 @@ class Scheduler:
         raise ValueError(self.policy)
 
 
+class MultiPairScheduler:
+    """Per-pair host LR schedule for the multi-pair trainer: Scheduler
+    vectorized over the pair axis. The closed-form policies are identical
+    across pairs (and computed in-trace by device_lr_fn anyway); plateau
+    keeps an independent (factor, best, bad_epochs) per pair so one pair
+    stalling cuts only its own lr — torch ReduceLROnPlateau semantics
+    (reference util/util.py:18) applied per pair.
+    """
+
+    def __init__(self, cfg: Config, n_pairs: int):
+        self.cfg = cfg
+        self.policy = cfg.scheduler_policy
+        self.base_lr = cfg.lr
+        self.n_pairs = n_pairs
+        self._scalar = Scheduler(cfg)
+        self._factor = np.ones(n_pairs)
+        self._best = np.full(n_pairs, np.inf)
+        self._bad = np.zeros(n_pairs, np.int64)
+
+    def observe(self, losses) -> None:
+        """Feed one step's per-pair losses ([P]); same cut rule as
+        Scheduler.observe, elementwise."""
+        if self.policy != "plateau":
+            return
+        losses = np.asarray(losses, np.float64)
+        improved = losses < self._best * (1.0 - 0.01)
+        self._best = np.where(improved, losses, self._best)
+        bad = np.where(improved, 0, self._bad + 1)
+        cut = bad > PLATEAU_PATIENCE
+        self._factor = np.where(cut, self._factor * 0.2, self._factor)
+        self._bad = np.where(cut, 0, bad)
+
+    def lr_for_step(self, i: int) -> np.ndarray:
+        """Per-pair lr vector [P] in effect during step i."""
+        if self.policy == "plateau":
+            return self.base_lr * self._factor
+        return np.full(self.n_pairs, self._scalar.lr_for_step(i))
+
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        return {"plateau_factor": self._factor.copy(),
+                "best": self._best.copy(),
+                "bad_epochs": self._bad.copy()}
+
+    def load_state_dict(self, d) -> None:
+        self._factor = np.asarray(d["plateau_factor"], np.float64).copy()
+        self._best = np.asarray(d["best"], np.float64).copy()
+        self._bad = np.asarray(d["bad_epochs"], np.int64).copy()
+
+
 def device_lr_fn(cfg: Config) -> Optional[Callable]:
     """Closed-form LR as a traced function of the step index, for policies
     whose schedule doesn't depend on host feedback (linear/step/cosine).

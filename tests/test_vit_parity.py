@@ -182,25 +182,30 @@ class TestPortParity:
 
 
 class TestFullScaleParity:
-    """Production-scale dino_vitb8 (embed 768, depth 12, heads 12, patch 8)
-    at 224px with weights ported through the SAME script a real checkpoint
-    uses: exercises the fused-qkv split at 2304 wide, the 28x28 token
-    grid (785 tokens incl. CLS), the scanned block path (taps only at
-    layer 11 -> lax.scan over blocks 0..10), and the unscanned path
-    (tap at layer 0). Reference semantics: extractor.py:41-49 hooks at
-    production scale."""
+    """Production-dimension dino_vitb8 (embed 768, depth 12, heads 12,
+    patch 8) with weights ported through the SAME script a real checkpoint
+    uses: exercises the fused-qkv split at 2304 wide, the scanned block
+    path (taps only at layer 11 -> lax.scan over blocks 0..10), and the
+    unscanned path (tap at layer 0). Reference semantics: extractor.py:
+    41-49 hooks at production width/depth. Runs at 128px (257 tokens) —
+    the 224px/785-token version proved the same numerics but dominated
+    single-core suite wall-clock; the real 28-base-grid geometry is still
+    covered by test_pos_embed_dino_offset_at_real_grid below and by the
+    full-scale golden fixtures (tests/test_vit_golden.py)."""
 
     @pytest.fixture(scope="class")
     def full(self):
+        import dataclasses as dc
         torch.manual_seed(7)
-        cfg = vit_lib.get_vit_config("dino_vitb8")
+        cfg = dc.replace(vit_lib.get_vit_config("dino_vitb8"),
+                         img_size=128)
         tmodel = TorchDinoVit(patch=8, dim=768, depth=12, heads=12,
-                              img_size=224).eval()
+                              img_size=128).eval()
         state = {k: v.detach().numpy()
                  for k, v in tmodel.state_dict().items()}
         params = w_lib.port_torch_state_dict(state, cfg)
         rng = np.random.default_rng(10)
-        img = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+        img = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
         with torch.no_grad():
             t_blocks, t_qkv = tmodel.forward_collect(
                 torch.from_numpy(img).permute(0, 3, 1, 2))
@@ -211,8 +216,8 @@ class TestFullScaleParity:
         cfg, params, img, t_blocks, t_qkv = full
         out = vit_lib.vit_forward(params, jnp.asarray(img), cfg,
                                   taps={"block": (11,), "qkv": (11,)})
-        assert out["block"][11].shape == (1, 785, 768)
-        assert out["qkv"][11].shape == (1, 785, 2304)
+        assert out["block"][11].shape == (1, 257, 768)
+        assert out["qkv"][11].shape == (1, 257, 2304)
         np.testing.assert_allclose(np.asarray(out["qkv"][11]),
                                    t_qkv[11].numpy(), atol=2e-5,
                                    rtol=1e-4)
