@@ -17,6 +17,7 @@ exactly what jit/vmap want (SURVEY.md §2 parity checklist, BatchNorm item).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -240,16 +241,17 @@ def concat_crop(xs: Sequence[jax.Array]) -> jax.Array:
 # Tests set this to exercise the fused-kernel (interpret-mode) path on CPU;
 # production CPU runs keep the XLA formulation.
 FORCE_FUSED_KERNELS_ON_CPU = False
-# Stride-2 phase-extraction formulation (perf experiment knob, numerics
-# identical — tested in test_unet.py): "slice" indexes the 6-D even-pad
-# reshape per tap; "major" materializes one phase-major relayout
-# [2,2,B,C,H/2,W/2] first so each tap is a contiguous slice. The 6-D
-# reshape at the 898px stem profiles at ~1.9 ms/step of pure relayout
-# (trace r2b) — "major" is the candidate fix, NOT yet measured e2e (the
-# TPU tunnel was down for the rest of round 2); bench with
-# /tmp-style driver: set unet.STRIDE2_PHASE_MODE = "major" before import
-# of the program, then run bench.py.
-STRIDE2_PHASE_MODE = "slice"
+# Stride-2 phase-extraction formulation (numerics identical across modes —
+# tested in test_unet.py). "permdot" (default) separates phases with two
+# MXU dots against constant 0/1 selection matrices instead of any reshape/
+# relayout: measured 25.7 -> 28.4 steps/s e2e (round 3, 200-step window) —
+# the 6-D reshape's relayout copy ran at ~5 GB/s on the (W/2, 2)-minor stem
+# tensor (~2.7 ms/step) while the permutation dots cost ~0.3 ms of MXU time
+# and differentiate to transposed permutation dots (no pad/scatter in the
+# backward). "slice" = per-tap indexing of the 6-D even-pad reshape (the
+# round-2 default); "major" = one phase-major relayout first (measured
+# e2e-neutral vs slice).
+STRIDE2_PHASE_MODE = "permdot"
 # Stride-2 conv dispatch: "phase" = the shifted phase-dot formulation
 # (default); "lax" = XLA's native strided convolution, kept as an ablation
 # knob. lax.conv wins the isolated microbench decisively (2.0 vs 6.5 ms
@@ -257,7 +259,32 @@ STRIDE2_PHASE_MODE = "slice"
 # over a 200-step window (round 3, v5e). The spatial conv emitter's wins
 # are eaten by the layout transitions XLA inserts around the custom-call-
 # free dot graph it replaces — see PERFORMANCE.md negative results.
+# "lax_stem" routes ONLY tiny-Cin sites (cin <= 4, i.e. the 3-channel
+# stem) through lax.conv: the round-3 trace shows the stem's 6-D phase
+# reshape+copy alone costs ~2.7 ms/step (a 10 MB tensor relayouted at
+# ~5 GB/s — the (449,2) minor dims tile terribly), while the OTHER
+# stride-2 sites lose under lax; and the stem input is data (no dx in
+# the backward), which is where the all-sites lax route bled.
 STRIDE2_CONV_MODE = "phase"
+# Phase-extraction backend inside "phase" mode. "permdot" replaces the
+# 6-D even-pad reshape (a relayout copy that profiles at ~5 GB/s on the
+# (W/2, 2)-minor stem tensor — ~2.7 ms/step at the 898px stem) with two
+# MXU dots against constant 0/1 selection matrices: columns/rows are
+# permuted so each phase lands in its own lane/sublane-aligned block,
+# making every tap a contiguous block slice. ~20 GFLOP of bf16 permutation
+# dots (~0.3 ms) in place of the relayout; the backward differentiates to
+# transposed permutation dots (no scatter-adds).
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_perm(n: int, block: int, align: int) -> np.ndarray:
+    """[n, 2*block] 0/1 matrix: even indices -> cols [0, n//2), odd ->
+    cols [block, block + n - n//2). block is align-rounded n//2... callers
+    pass block = round_up(ceil(n/2), align)."""
+    m = np.zeros((n, 2 * block), dtype=np.float32)
+    for i in range(n):
+        m[i, (i % 2) * block + i // 2] = 1.0
+    return m
 # The generator's channel counts (3..128) are tiny next to the TPU's
 # 128-lane registers: in NHWC, XLA keeps C in the lane dimension and pads it
 # to 128, wasting up to 8x of HBM traffic and littering the graph with
@@ -279,7 +306,8 @@ def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
         mode = "reflect" if pad == "reflection" else "constant"
         x = jnp.pad(x, ((0, 0), (0, 0), (to_pad, to_pad), (to_pad, to_pad)),
                     mode=mode)
-    if stride == 2 and STRIDE2_CONV_MODE == "lax":
+    if stride == 2 and (STRIDE2_CONV_MODE == "lax"
+                        or (STRIDE2_CONV_MODE == "lax_stem" and cin <= 4)):
         # XLA's native strided convolution. Wins the isolated microbench
         # (2.0 vs 6.5 ms fwd+bwd at the 898px stem, 1.6 vs 2.3 at 450px)
         # but loses e2e (24.2 vs 25.5 steps/s) — kept as an ablation
@@ -305,6 +333,31 @@ def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
         # numerically identical and lowers to cheap relayout copies.
         # Padding to even H/W always leaves each phase with the
         # (kh-1)//2 + Ho rows the deepest tap shift needs.
+        if STRIDE2_PHASE_MODE == "permdot":
+            # Phase separation as two permutation matmuls (see knob note).
+            # Blocks are lane/sublane aligned so every tap below is a
+            # contiguous block slice of xp [B, C, 2*BH, 2*BW].
+            BH = -(-((Hp + 1) // 2) // 8) * 8
+            BW = -(-((Wp + 1) // 2) // 128) * 128
+            sh = jnp.asarray(_phase_perm(Hp, BH, 8), dtype=x.dtype)
+            sw = jnp.asarray(_phase_perm(Wp, BW, 128), dtype=x.dtype)
+            xp = jnp.einsum("bchw,wj->bchj", x, sw)
+            xp = jnp.einsum("bchj,hi->bcij", xp, sh)
+            out = None
+            for dy in range(kh):
+                for dx in range(kw):
+                    sl = xp[:, :,
+                            (dy % 2) * BH + dy // 2:
+                            (dy % 2) * BH + dy // 2 + Ho,
+                            (dx % 2) * BW + dx // 2:
+                            (dx % 2) * BW + dx // 2 + Wo]
+                    t = jnp.einsum("io,bihw->bohw",
+                                   w[dy, dx].astype(x.dtype), sl)
+                    out = t if out is None else out + t
+            out = out.astype(x.dtype)
+            if "bias" in p:
+                out = out + p["bias"].astype(out.dtype)[:, None, None]
+            return out
         x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp % 2), (0, Wp % 2)))
         xr = x.reshape(B, C, x.shape[2] // 2, 2, x.shape[3] // 2, 2)
         # tap accumulation in the input dtype: each dot still accumulates

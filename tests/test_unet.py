@@ -324,11 +324,14 @@ class TestChwLayout:
 
 
 class TestStride2PhaseModes:
+    @pytest.mark.parametrize("mode", ["major", "permdot"])
     @pytest.mark.parametrize("hw", [(20, 24), (15, 11), (17, 18)])
-    def test_major_matches_slice_fwd_bwd(self, hw):
-        """STRIDE2_PHASE_MODE='major' (one materialized phase-major
-        relayout) must be numerically identical to the default per-tap
-        6-D slicing, forward and backward."""
+    def test_modes_match_slice_fwd_bwd(self, hw, mode):
+        """Every STRIDE2_PHASE_MODE ('major' = one materialized
+        phase-major relayout; 'permdot' = phase separation via constant
+        0/1 permutation matmuls, the production default) must be
+        numerically identical to the per-tap 6-D slicing form, forward
+        and backward (both input and weight grads)."""
         rng = np.random.default_rng(51)
         x = jnp.asarray(rng.standard_normal((2, 5, *hw)), jnp.float32)
         p = {"kernel": jnp.asarray(
@@ -337,19 +340,22 @@ class TestStride2PhaseModes:
 
         def run():
             y = unet.conv2d_chw(x, p, stride=2)
-            g = jax.grad(lambda x: jnp.sum(
-                unet.conv2d_chw(x, p, stride=2) ** 2))(x)
-            return np.asarray(y), np.asarray(g)
+            gx, gw = jax.grad(lambda x, p: jnp.sum(
+                unet.conv2d_chw(x, p, stride=2) ** 2),
+                argnums=(0, 1))(x, p)
+            return np.asarray(y), np.asarray(gx), np.asarray(gw["kernel"])
 
-        assert unet.STRIDE2_PHASE_MODE == "slice"
-        ya, ga = run()
-        unet.STRIDE2_PHASE_MODE = "major"
+        prev = unet.STRIDE2_PHASE_MODE
         try:
-            yb, gb = run()
-        finally:
             unet.STRIDE2_PHASE_MODE = "slice"
+            ya, ga, gwa = run()
+            unet.STRIDE2_PHASE_MODE = mode
+            yb, gb, gwb = run()
+        finally:
+            unet.STRIDE2_PHASE_MODE = prev
         np.testing.assert_allclose(ya, yb, atol=1e-6)
         np.testing.assert_allclose(ga, gb, atol=1e-5)
+        np.testing.assert_allclose(gwa, gwb, atol=1e-4)
 
 
 class TestLanczosReferenceParity:
