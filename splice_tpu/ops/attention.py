@@ -25,20 +25,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Target queries per grid step; full K/V kept in VMEM per (batch, head).
 # The actual block is shrunk to the smallest multiple of 8 that still covers
-# N in the same number of tiles (see _q_tiling): at N=785 a fixed BQ=256
-# pads the q axis to 1024 and wastes 23% of every dot and softmax pass on
-# rows that are sliced away afterwards; BQ=200 covers N in the same 4 tiles
-# with 2% padding. M-dim alignment costs nothing on the MXU (rows stream
-# through the systolic array; only the 8-sublane granularity matters).
-_BQ = 256
+# N in the same number of tiles (see _q_tiling). At the flagship N=785 the
+# whole sequence rides in ONE q tile (bq=792, logits block 792x800 fp32 =
+# 2.5 MB VMEM): measured 28.4 -> 29.1 steps/s e2e vs the round-2 4-tile
+# blocking — 4x fewer grid cells amortizes kernel entry and keeps the MXU
+# pipeline full at M=792 instead of M=200. _LOGITS_VMEM_BUDGET caps the
+# fp32 logits block (the backward holds ~3 such arrays live), re-tiling
+# long sequences (480px, ~3.6k tokens) back to multiple q tiles.
+_BQ = 1024
+_LOGITS_VMEM_BUDGET = 4 * 1024 * 1024
 # Above this padded length the full-K/V-in-VMEM plan stops fitting; fall back.
 _MAX_N_PAD = 4096
 
 
 def _q_tiling(n: int) -> Tuple[int, int]:
-    """(block_q, nq_pad): minimal 8-aligned q block covering n in
-    cdiv(n, _BQ) tiles."""
-    tiles = pl.cdiv(n, _BQ)
+    """(block_q, nq_pad): minimal 8-aligned q block covering n in the
+    fewest tiles allowed by _BQ and the fp32-logits VMEM budget."""
+    n_pad = pl.cdiv(n, 128) * 128
+    max_bq = max(8, _LOGITS_VMEM_BUDGET // (4 * n_pad))
+    tiles = max(pl.cdiv(n, _BQ), pl.cdiv(n, max_bq))
     bq = pl.cdiv(pl.cdiv(n, tiles), 8) * 8
     return bq, bq * tiles
 
