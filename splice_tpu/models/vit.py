@@ -191,6 +191,12 @@ def cast_params_for_compute(params: Dict[str, Any], compute_dtype
 # full rate with fp32 accumulation; fp32 operands are not silently truncated
 # (JAX's DEFAULT matmul precision is lossy, even on CPU).
 _HI = jax.lax.Precision.HIGHEST
+# Pad the token axis to a lane multiple once at embedding instead of per
+# attention call. Measured e2e-negative at the training shapes (see the
+# note in vit_forward); kept as an ablation knob — the n_valid masking
+# machinery it drives is unit-tested either way (test_attention.py::
+# TestPaddedTokenStream).
+PAD_TOKEN_STREAM = False
 
 
 def _dense(x, p):
@@ -316,8 +322,16 @@ def interpolate_pos_embed(pos_embed: jax.Array, cfg: VitConfig,
 
 
 def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
-           tp_axis: Optional[str] = None, tp_manual: Optional[str] = None):
+           tp_axis: Optional[str] = None, tp_manual: Optional[str] = None,
+           n_valid: int = 0):
     """One pre-LN transformer block. Returns (x_out, taps dict).
+
+    n_valid > 0 means the token axis is pre-padded to a lane multiple
+    (vit_forward pads ONCE at embedding): attention masks keys beyond
+    n_valid, and every tap is sliced back to the valid tokens here so
+    consumers never see padding. Padded rows carry garbage that stays in
+    its own rows (attention is row-wise and masked) and exactly-zero
+    cotangents (nothing downstream reads them).
 
     tp_axis: mesh axis name for Megatron-style tensor parallelism in a
     GSPMD-auto region — heads sharded in attention, hidden dim sharded in
@@ -338,12 +352,15 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
             return t
         return jax.lax.with_sharding_constraint(t, P(*spec))
 
+    def unpad(t):
+        return t[:, :n_valid] if n_valid else t
+
     taps = {}
     h = _layer_norm(x, bp["norm1"], cfg.ln_eps)
     qkv = _dense(h, bp["attn"]["qkv"])              # [B, N, 3*D/tp] local
     if "qkv" in want:
-        taps["qkv"] = (_tp_gather_qkv(qkv, cfg, tp_manual)
-                       if tp_manual else qkv)
+        taps["qkv"] = unpad(_tp_gather_qkv(qkv, cfg, tp_manual)
+                            if tp_manual else qkv)
     B, N, _ = qkv.shape
     dh = cfg.head_dim
     Hn = qkv.shape[-1] // 3 // dh     # local head count under manual tp
@@ -356,21 +373,27 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
         # reference's ATTN tap, extractor.py:44); slow path.
         logits = (q.astype(jnp.float32) @
                   k.astype(jnp.float32).transpose(0, 1, 3, 2)) * scale
+        if n_valid:
+            logits = logits + attn_ops._pad_mask_bias(n_valid, N)
         probs = jax.nn.softmax(logits, axis=-1)            # local heads
         o = (probs @ v.astype(jnp.float32)).astype(x.dtype)
         if tp_manual:
             probs = _tp_allcat(probs, 1, cfg.num_heads // Hn, tp_manual)
-        taps["attn_probs"] = probs
+        # masked pad columns carry ~0 probability, so valid rows already
+        # normalize over valid columns; slicing loses nothing.
+        taps["attn_probs"] = (probs[:, :, :n_valid, :n_valid]
+                              if n_valid else probs)
     else:
         o = attn_ops.multi_head_attention(q, k, v, scale,
-                                          use_pallas=use_pallas)
+                                          use_pallas=use_pallas,
+                                          n_valid=n_valid)
     o = o.transpose(0, 2, 1, 3).reshape(B, N, Hn * dh)
     if tp_manual:
         o = _dense_rowparallel(o, bp["attn"]["proj"], tp_manual)
     else:
         o = _dense(o, bp["attn"]["proj"])
     if "attn_out" in want:
-        taps["attn_out"] = o                                      # PATCH_IMD tap
+        taps["attn_out"] = unpad(o)                               # PATCH_IMD tap
     if "ls1" in bp:
         o = o * bp["ls1"].astype(o.dtype)
     x = x + o
@@ -392,7 +415,7 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
     # frozen-weights backward needs derives from policy-saved dot outputs.
     x = ad_checkpoint.checkpoint_name(x, "vit_block_out")
     if "block" in want:
-        taps["block"] = x
+        taps["block"] = unpad(x)
     return x, taps
 
 
@@ -444,6 +467,24 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
             (B, cfg.num_register_tokens, cfg.embed_dim))
         x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
 
+    # Padded token stream (ablation knob, default OFF): pad the token axis
+    # to a lane multiple ONCE here instead of every attention call padding
+    # q/k/v and re-slicing the output. Measured e2e NEGATIVE at the
+    # training shapes (28.6 vs 29.0 steps/s, round 3): XLA already fuses
+    # the per-call pads into the producing dense's output buffer, so the
+    # once-padded stream only adds ~2% garbage-row FLOPs to every ViT dot
+    # and elementwise pass. Attention masks keys beyond n_valid; taps are
+    # sliced back inside _block; padded rows never influence valid rows
+    # and carry exactly-zero cotangents.
+    n_valid = 0
+    n_tokens = x.shape[1]
+    if (PAD_TOKEN_STREAM and use_pallas and n_tokens % 128 != 0
+            and cfg.head_dim % 64 == 0
+            and -(-n_tokens // 128) * 128 <= attn_ops._MAX_N_PAD):
+        pad_to = -(-n_tokens // 128) * 128
+        x = jnp.pad(x, ((0, 0), (0, pad_to - n_tokens), (0, 0)))
+        n_valid = n_tokens
+
     max_layer = max((max(v) for v in taps.values() if len(v)),
                     default=cfg.depth - 1)
     if final_norm:
@@ -457,7 +498,7 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
         # ViT time); dots-saveable keeps the FLOP-heavy results while still
         # dropping the big intermediate activations.
         block_fn = jax.checkpoint(
-            _block, static_argnums=(2, 3, 4, 5, 6),
+            _block, static_argnums=(2, 3, 4, 5, 6, 7),
             policy=jax.checkpoint_policies.save_from_both_policies(
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                 jax.checkpoint_policies.save_only_these_names(
@@ -478,7 +519,8 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
                                *params["blocks"][:n_scan])
 
         def scan_body(h, bp):
-            h, _ = block_fn(h, bp, cfg, use_pallas, (), tp_axis, tp_manual)
+            h, _ = block_fn(h, bp, cfg, use_pallas, (), tp_axis, tp_manual,
+                            n_valid)
             return h, None
 
         x, _ = jax.lax.scan(scan_body, x, stacked)
@@ -486,10 +528,12 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
     for i in range(start, max_layer + 1):
         want = tuple(sorted(k for k, layers in taps.items() if i in layers))
         x, btaps = block_fn(x, params["blocks"][i], cfg, use_pallas, want,
-                            tp_axis, tp_manual)
+                            tp_axis, tp_manual, n_valid)
         for k, v in btaps.items():
             out[k][i] = v
     if final_norm:
+        if n_valid:
+            x = x[:, :n_valid]
         out["final"] = {-1: _layer_norm(x, params["norm"], cfg.ln_eps)}
     return out
 

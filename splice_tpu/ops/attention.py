@@ -51,15 +51,20 @@ def _q_tiling(n: int) -> Tuple[int, int]:
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _xla_attention(q, k, v, scale):
+def _xla_attention(q, k, v, scale, n_valid=None):
     """Plain XLA attention. q,k,v: [B, H, N, dh]. fp32 softmax.
 
     HIGHEST precision: exact for the dtype given (bf16 inputs still ride the
     MXU at full speed with fp32 accumulation; fp32 inputs are not silently
     downcast — JAX's DEFAULT precision is lossy even on CPU).
+
+    n_valid: with a pre-padded token stream (see vit_forward), keys/values
+    beyond n_valid are padding and are masked out of the softmax.
     """
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=_HI,
                         preferred_element_type=jnp.float32) * scale
+    if n_valid is not None and n_valid < q.shape[2]:
+        logits = logits + _pad_mask_bias(n_valid, q.shape[2])
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                       precision=_HI,
@@ -105,8 +110,9 @@ def _pad_mask_bias(n_valid: int, n_pad: int):
     return jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
 
 
-def _pallas_attention_fwd_impl(q, k, v, scale: float):
+def _pallas_attention_fwd_impl(q, k, v, scale: float, n_valid: int = 0):
     B, H, N, dh = q.shape
+    valid = n_valid or N
     n_pad = pl.cdiv(N, 128) * 128
     bq, nq_pad = _q_tiling(N)
     qp = jnp.pad(q.reshape(B * H, N, dh), ((0, 0), (0, nq_pad - N), (0, 0)))
@@ -114,7 +120,7 @@ def _pallas_attention_fwd_impl(q, k, v, scale: float):
     vp = jnp.pad(v.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
 
     grid = (B * H, nq_pad // bq)
-    masked = N < n_pad
+    masked = valid < n_pad
     kernel = functools.partial(_attn_kernel, scale=float(scale))
     # Interpret mode lets the same kernel run in CPU tests
     # (tests/conftest.py forces JAX_PLATFORMS=cpu). On real TPU (including
@@ -132,7 +138,7 @@ def _pallas_attention_fwd_impl(q, k, v, scale: float):
     if masked:
         in_specs.append(pl.BlockSpec((1, n_pad), lambda b, i: (0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(_pad_mask_bias(N, n_pad))
+        operands.append(_pad_mask_bias(valid, n_pad))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B * H, nq_pad, dh), q.dtype),
@@ -226,8 +232,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, *refs, scale: float,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _pallas_attention_bwd_impl(q, k, v, g, scale: float):
+def _pallas_attention_bwd_impl(q, k, v, g, scale: float, n_valid: int = 0):
     B, H, N, dh = q.shape
+    valid = n_valid or N
     n_pad = pl.cdiv(N, 128) * 128
     bq, nq_pad = _q_tiling(N)
     qp = jnp.pad(q.reshape(B * H, N, dh), ((0, 0), (0, nq_pad - N), (0, 0)))
@@ -235,7 +242,7 @@ def _pallas_attention_bwd_impl(q, k, v, g, scale: float):
     kp = jnp.pad(k.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
     vp = jnp.pad(v.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
     nq_tiles = nq_pad // bq
-    masked = N < n_pad
+    masked = valid < n_pad
     kernel = functools.partial(_attn_bwd_kernel, scale=float(scale),
                                nq_tiles=nq_tiles)
     interpret = jax.default_backend() == "cpu"
@@ -248,7 +255,7 @@ def _pallas_attention_bwd_impl(q, k, v, g, scale: float):
     if masked:
         in_specs.append(pl.BlockSpec((1, n_pad), lambda b, i: (0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(_pad_mask_bias(N, n_pad))
+        operands.append(_pad_mask_bias(valid, n_pad))
     dq_p, dk_p, dv_p = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((B * H, nq_pad, dh), q.dtype),
@@ -272,18 +279,18 @@ def _pallas_attention_bwd_impl(q, k, v, g, scale: float):
             dv_p[:, :N].reshape(B, H, N, dh))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _pallas_attention(q, k, v, scale):
-    return _pallas_attention_fwd_impl(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_attention(q, k, v, scale, n_valid):
+    return _pallas_attention_fwd_impl(q, k, v, scale, n_valid)
 
 
-def _pallas_attention_fwd(q, k, v, scale):
-    return _pallas_attention_fwd_impl(q, k, v, scale), (q, k, v)
+def _pallas_attention_fwd(q, k, v, scale, n_valid):
+    return _pallas_attention_fwd_impl(q, k, v, scale, n_valid), (q, k, v)
 
 
-def _pallas_attention_bwd(scale, res, g):
+def _pallas_attention_bwd(scale, n_valid, res, g):
     q, k, v = res
-    return _pallas_attention_bwd_impl(q, k, v, g, scale)
+    return _pallas_attention_bwd_impl(q, k, v, g, scale, n_valid)
 
 
 _pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
@@ -297,12 +304,21 @@ def pallas_attention_supported(q) -> bool:
 
 
 def multi_head_attention(q, k, v, scale: float,
-                         use_pallas: bool = False) -> jax.Array:
-    """Softmax attention over [B, H, N, dh] tensors (no mask — ViT is dense).
+                         use_pallas: bool = False,
+                         n_valid: int = 0) -> jax.Array:
+    """Softmax attention over [B, H, N, dh] tensors.
 
     `use_pallas` routes through the fused TPU kernel when the shape qualifies;
     both paths are differentiable and numerically equivalent (fp32 softmax).
+
+    n_valid > 0 marks tokens [n_valid:] of the key/value axis as padding to
+    be masked out of the softmax — the padded-token-stream contract
+    (vit_forward pads the token axis to a lane multiple ONCE at embedding,
+    instead of every kernel call padding and re-slicing; query rows beyond
+    n_valid produce garbage that stays in their own rows and is sliced away
+    at tap extraction). 0 means every token is valid.
     """
     if use_pallas and pallas_attention_supported(q):
-        return _pallas_attention(q, k, v, float(scale))
-    return _xla_attention(q, k, v, scale)
+        return _pallas_attention(q, k, v, float(scale), int(n_valid))
+    return _xla_attention(q, k, v, scale,
+                          n_valid=int(n_valid) if n_valid else None)

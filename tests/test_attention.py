@@ -37,7 +37,7 @@ class TestPallasMatchesXla:
     @pytest.mark.parametrize("N", [64, 100, 785])
     def test_forward(self, N):
         q, k, v = _rand_qkv(jax.random.PRNGKey(2), B=1, H=2, N=N)
-        ours = att._pallas_attention(q, k, v, 0.125)
+        ours = att._pallas_attention(q, k, v, 0.125, 0)
         ref = att._xla_attention(q, k, v, 0.125)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=2e-5)
@@ -46,7 +46,7 @@ class TestPallasMatchesXla:
         q, k, v = _rand_qkv(jax.random.PRNGKey(3), B=1, H=1, N=96)
 
         def loss_pallas(q, k, v):
-            return jnp.sum(att._pallas_attention(q, k, v, 0.125) ** 2)
+            return jnp.sum(att._pallas_attention(q, k, v, 0.125, 0) ** 2)
 
         def loss_xla(q, k, v):
             return jnp.sum(att._xla_attention(q, k, v, 0.125) ** 2)
@@ -69,3 +69,45 @@ class TestPallasMatchesXla:
         assert not att.pallas_attention_supported(q)
         out = att.multi_head_attention(q, k, v, 0.1, use_pallas=True)
         assert out.shape == q.shape
+
+
+class TestPaddedTokenStream:
+    """n_valid contract: a pre-padded token axis with masked keys must
+    reproduce unpadded attention on the valid rows, forward and backward,
+    on both the Pallas and XLA paths (vit_forward pads the stream once at
+    embedding)."""
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_valid_rows_match_unpadded(self, use_pallas):
+        N, PAD = 100, 128
+        q, k, v = _rand_qkv(jax.random.PRNGKey(6), B=2, H=2, N=N)
+        ref = att.multi_head_attention(q, k, v, 0.125, use_pallas=use_pallas)
+        pad = [(0, 0), (0, 0), (0, PAD - N), (0, 0)]
+        qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
+        out = att.multi_head_attention(qp, kp, vp, 0.125,
+                                       use_pallas=use_pallas, n_valid=N)
+        np.testing.assert_allclose(np.asarray(out[:, :, :N]),
+                                   np.asarray(ref), atol=2e-5)
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_grads_match_unpadded(self, use_pallas):
+        N, PAD = 96, 128
+        q, k, v = _rand_qkv(jax.random.PRNGKey(7), B=1, H=1, N=N)
+        pad = [(0, 0), (0, 0), (0, PAD - N), (0, 0)]
+
+        def loss_padded(q, k, v):
+            qp, kp, vp = (jnp.pad(t, pad) for t in (q, k, v))
+            out = att.multi_head_attention(qp, kp, vp, 0.125,
+                                           use_pallas=use_pallas, n_valid=N)
+            # only valid rows are consumed (the vit taps slice them)
+            return jnp.sum(out[:, :, :N] ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(att.multi_head_attention(
+                q, k, v, 0.125, use_pallas=use_pallas) ** 2)
+
+        gp = jax.grad(loss_padded, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3)

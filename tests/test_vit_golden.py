@@ -12,6 +12,8 @@ No torch needed at test time (round-2 VERDICT missing #1a).
 """
 import pathlib
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -75,3 +77,27 @@ class TestGoldenVitB8:
         assert abs(qkv11.std() - golden["qkv11_std"]) < 1e-3
         assert abs(blk11.mean() - golden["block11_mean"]) < 1e-4
         assert abs(blk11.std() - golden["block11_std"]) < 1e-3
+
+
+class TestPaddedTokenStreamVit:
+    def test_taps_match_unpadded(self):
+        """PAD_TOKEN_STREAM=True (token axis padded once at embedding,
+        attention masked by n_valid) must reproduce the default stream's
+        taps exactly on the valid tokens (knob is e2e-perf-negative and
+        default-off; this keeps the machinery correct)."""
+        cfg = vit_lib.get_vit_config("dino_vits8")
+        params = vit_lib.init_vit_params(jax.random.PRNGKey(3), cfg)
+        img = jnp.asarray(
+            np.random.RandomState(5).rand(1, 64, 64, 3), jnp.float32)
+        taps = {"qkv": [11], "block": [11]}
+        a = vit_lib.vit_forward(params, img, cfg, taps, use_pallas=True)
+        prev = vit_lib.PAD_TOKEN_STREAM
+        vit_lib.PAD_TOKEN_STREAM = True
+        try:
+            b = vit_lib.vit_forward(params, img, cfg, taps, use_pallas=True)
+        finally:
+            vit_lib.PAD_TOKEN_STREAM = prev
+        for kind in ("qkv", "block"):
+            x, y = np.asarray(a[kind][11]), np.asarray(b[kind][11])
+            assert x.shape == y.shape
+            np.testing.assert_allclose(x, y, atol=2e-5)
