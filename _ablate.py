@@ -1,0 +1,52 @@
+"""Single-flag ablation bench: 200-step window, 1 seed, warm cache.
+Usage: python _ablate.py <mode>   (mode -> unet.STRIDE2_CONV_MODE)
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from splice_tpu.models import unet, vit
+label = "default"
+if len(sys.argv) > 1:
+    mode = sys.argv[1]
+    label = mode
+    if mode in ("slice", "major", "permdot"):
+        unet.STRIDE2_PHASE_MODE = mode
+    elif mode in ("ln_save", "ln_nosave", "ln_inv"):
+        vit.SAVE_LN_STATS = {"ln_save": True, "ln_nosave": False, "ln_inv": "inv"}[mode]
+    else:
+        unet.STRIDE2_CONV_MODE = mode
+
+from splice_tpu import trainer
+from splice_tpu.config import load_config
+from splice_tpu.data import load_pair
+
+cfg = load_config(None, dict(
+    dataroot="datasets/splicing/cows", seed=3,
+    vit_compute_dtype="bfloat16", use_pallas_attention=True,
+    remat_vit=True))
+pair = load_pair(cfg)
+extractor = trainer.make_extractor_from_config(cfg)
+program = trainer.build_program(cfg, pair, extractor)
+state = program.init_state(jax.random.PRNGKey(3))
+key = jax.random.PRNGKey(4)
+lam = jnp.asarray(trainer.lambdas_vec(cfg, 5))
+CH = 10
+state, parts = program.step_chunk(state, pair.A, pair.B, jnp.int32(1),
+                                  key, lam, CH)
+_ = float(parts["loss"])
+t0 = time.perf_counter()
+i = 1 + CH
+for _n in range(20):
+    state, parts = program.step_chunk(state, pair.A, pair.B, jnp.int32(i),
+                                      key, lam, CH)
+    i += CH
+loss = float(parts["loss"])
+wall = time.perf_counter() - t0
+print(f"mode={label}: {200/wall:.2f} steps/s  loss={loss:.4f}")

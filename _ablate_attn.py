@@ -1,0 +1,31 @@
+"""Attention q-block ablation: set _BQ via argv, 200-step window."""
+import sys, time
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from splice_tpu.ops import attention
+if len(sys.argv) > 1:
+    attention._BQ = int(sys.argv[1])
+from splice_tpu import trainer
+from splice_tpu.config import load_config
+from splice_tpu.data import load_pair
+cfg = load_config(None, dict(
+    dataroot="datasets/splicing/cows", seed=3,
+    vit_compute_dtype="bfloat16", use_pallas_attention=True,
+    remat_vit=True))
+pair = load_pair(cfg)
+extractor = trainer.make_extractor_from_config(cfg)
+program = trainer.build_program(cfg, pair, extractor)
+state = program.init_state(jax.random.PRNGKey(3))
+key = jax.random.PRNGKey(4)
+lam = jnp.asarray(trainer.lambdas_vec(cfg, 5))
+CH = 10
+state, parts = program.step_chunk(state, pair.A, pair.B, jnp.int32(1), key, lam, CH)
+_ = float(parts["loss"])
+t0 = time.perf_counter(); i = 1 + CH
+for _n in range(20):
+    state, parts = program.step_chunk(state, pair.A, pair.B, jnp.int32(i), key, lam, CH)
+    i += CH
+loss = float(parts["loss"]); wall = time.perf_counter() - t0
+print(f"BQ={attention._BQ}: {200/wall:.2f} steps/s  loss={loss:.4f}")

@@ -197,6 +197,10 @@ _HI = jax.lax.Precision.HIGHEST
 # machinery it drives is unit-tested either way (test_attention.py::
 # TestPaddedTokenStream).
 PAD_TOKEN_STREAM = False
+# Save LayerNorm VJP intermediates (centered input + inverse std) under
+# remat instead of re-running the LN reductions in the backward; see
+# _layer_norm. Ablation knob, measured e2e (PERFORMANCE.md).
+SAVE_LN_STATS = True
 
 
 def _dense(x, p):
@@ -259,11 +263,25 @@ def _tp_gather_qkv(qkv_local: jax.Array, cfg: "VitConfig", axis: str
     return full.reshape(B, N, 3 * cfg.embed_dim)
 
 
-def _layer_norm(x, p, eps):
+def _layer_norm(x, p, eps, save_stats: bool = False):
+    """Pre-affine LayerNorm in fp32.
+
+    save_stats names the centered input and inverse-std so the remat
+    policy can keep them: LayerNorm's VJP references exactly these two
+    intermediates, and without them the backward re-runs the mean/var
+    reductions from the (policy-saved) block input for every LN of every
+    block — measured ~2.4 ms/step of the frozen-ViT backward at the
+    training shapes (add/reduce fusions in the round-3 trace)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    sub = x32 - mean
+    var = jnp.mean(jnp.square(sub), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    if save_stats:
+        if save_stats != "inv":
+            sub = ad_checkpoint.checkpoint_name(sub, "vit_ln_sub")
+        inv = ad_checkpoint.checkpoint_name(inv, "vit_ln_inv")
+    y = sub * inv
     return (y * p["scale"].astype(jnp.float32)
             + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
@@ -356,7 +374,7 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
         return t[:, :n_valid] if n_valid else t
 
     taps = {}
-    h = _layer_norm(x, bp["norm1"], cfg.ln_eps)
+    h = _layer_norm(x, bp["norm1"], cfg.ln_eps, save_stats=SAVE_LN_STATS)
     qkv = _dense(h, bp["attn"]["qkv"])              # [B, N, 3*D/tp] local
     if "qkv" in want:
         taps["qkv"] = unpad(_tp_gather_qkv(qkv, cfg, tp_manual)
@@ -397,7 +415,7 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
     if "ls1" in bp:
         o = o * bp["ls1"].astype(o.dtype)
     x = x + o
-    h = _layer_norm(x, bp["norm2"], cfg.ln_eps)
+    h = _layer_norm(x, bp["norm2"], cfg.ln_eps, save_stats=SAVE_LN_STATS)
     h = tp(_dense(h, bp["mlp"]["fc1"]), (None, None, tp_axis))
     h = jax.nn.gelu(h, approximate=False)
     if tp_manual:
@@ -497,12 +515,21 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
         # full remat re-runs every block matmul in the backward (~25% of
         # ViT time); dots-saveable keeps the FLOP-heavy results while still
         # dropping the big intermediate activations.
+        names = ("vit_block_out",)
+        if SAVE_LN_STATS == "inv":
+            # Save only the [B,N,1] inverse std (~6 KB/block): kills the
+            # backward's var reduction + rsqrt recompute, keeps the cheap
+            # centered-input recompute.
+            names += ("vit_ln_inv",)
+        elif SAVE_LN_STATS:
+            # ~19 MB/block extra residuals (fp32 centered input x2 +
+            # inv-std) buy back the backward's LN re-reductions.
+            names += ("vit_ln_sub", "vit_ln_inv")
         block_fn = jax.checkpoint(
             _block, static_argnums=(2, 3, 4, 5, 6, 7),
             policy=jax.checkpoint_policies.save_from_both_policies(
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                jax.checkpoint_policies.save_only_these_names(
-                    "vit_block_out")))
+                jax.checkpoint_policies.save_only_these_names(*names)))
 
     # Layers before the first tap are identical untapped blocks: run them as
     # ONE lax.scan over stacked params instead of unrolling. This cuts the
