@@ -1,5 +1,12 @@
-"""Capture a device trace of the benchmark-config chunked step."""
+"""Single-flag ablation bench: 200-step window, 1 seed, warm cache.
+Usage: python scripts/ablate.py <mode>   (mode -> unet.STRIDE2_CONV_MODE)
+"""
+import pathlib as _pathlib
+import sys as _sys
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+import sys
 import time
+
 import jax
 import jax.numpy as jnp
 
@@ -7,10 +14,21 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+from splice_tpu.models import unet, vit
+label = "default"
+if len(sys.argv) > 1:
+    mode = sys.argv[1]
+    label = mode
+    if mode in ("slice", "major", "permdot"):
+        unet.STRIDE2_PHASE_MODE = mode
+    elif mode in ("ln_save", "ln_nosave", "ln_inv"):
+        vit.SAVE_LN_STATS = {"ln_save": True, "ln_nosave": False, "ln_inv": "inv"}[mode]
+    else:
+        unet.STRIDE2_CONV_MODE = mode
+
 from splice_tpu import trainer
 from splice_tpu.config import load_config
 from splice_tpu.data import load_pair
-from splice_tpu.utils.profiling import device_trace_options
 
 cfg = load_config(None, dict(
     dataroot="datasets/splicing/cows", seed=3,
@@ -23,18 +41,15 @@ state = program.init_state(jax.random.PRNGKey(3))
 key = jax.random.PRNGKey(4)
 lam = jnp.asarray(trainer.lambdas_vec(cfg, 5))
 CH = 10
-# warmup/compile
 state, parts = program.step_chunk(state, pair.A, pair.B, jnp.int32(1),
                                   key, lam, CH)
 _ = float(parts["loss"])
-
-jax.profiler.start_trace("/tmp/trace_r3d",
-                         profiler_options=device_trace_options())
+t0 = time.perf_counter()
 i = 1 + CH
-for _n in range(2):   # 2 x 10-step chunks
+for _n in range(20):
     state, parts = program.step_chunk(state, pair.A, pair.B, jnp.int32(i),
                                       key, lam, CH)
     i += CH
-_ = float(parts["loss"])
-jax.profiler.stop_trace()
-print("trace done, steps:", i - 1 - CH)
+loss = float(parts["loss"])
+wall = time.perf_counter() - t0
+print(f"mode={label}: {200/wall:.2f} steps/s  loss={loss:.4f}")

@@ -1,4 +1,7 @@
 """Attention q-block ablation: set _BQ via argv, 200-step window."""
+import pathlib as _pathlib
+import sys as _sys
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
 import sys, time
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")

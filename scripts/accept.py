@@ -27,9 +27,14 @@ and `lpips` is null.
 
 Exit code: 0 if every comparable pair passes (or nothing was comparable —
 the report then says exactly which artifact is missing), 1 on a failed
-comparison, 2 on a pipeline error.
+comparison, 2 on a pipeline error (weight port, training run, or a
+shape-mismatched comparison — anything that prevents a verdict).
 """
 from __future__ import annotations
+
+import pathlib as _pathlib
+import sys as _sys
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
 
 import argparse
 import json
@@ -81,6 +86,7 @@ def main():
     from splice_tpu.tools import evaluate as ev
 
     verdicts = []
+    pipeline_error = False
     for pair in args.pairs:
         droot = REPO / "datasets" / "splicing" / pair
         entry = {"dataroot": str(droot)}
@@ -94,10 +100,12 @@ def main():
             entry["trained"] = True
             entry["train_wall_s"] = round(time.time() - t0, 1)
         except subprocess.CalledProcessError as e:
+            # A failed training run prevents a verdict: pipeline error
+            # (exit 2), not a failed comparison (exit 1).
             entry["trained"] = False
             entry["error"] = str(e)
             report["pairs"][pair] = entry
-            verdicts.append(False)
+            pipeline_error = True
             continue
         out_png = droot / "out" / "output.png"
         ref_png = droot / "ref" / "output.png"
@@ -113,7 +121,7 @@ def main():
         if a.shape != b.shape:
             entry["error"] = f"shape mismatch {a.shape} vs {b.shape}"
             report["pairs"][pair] = entry
-            verdicts.append(False)
+            pipeline_error = True
             continue
         entry["psnr"] = round(ev.psnr(a, b), 3)
         entry["ssim"] = round(ev.ssim(a, b), 4)
@@ -133,6 +141,8 @@ def main():
     report["pass"] = all(verdicts) if verdicts else None
     pathlib.Path(args.out).write_text(json.dumps(report, indent=2))
     print(json.dumps(report))
+    if pipeline_error:
+        return 2
     return 0 if report["pass"] in (True, None) else 1
 
 

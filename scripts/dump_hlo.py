@@ -1,4 +1,7 @@
 """Get optimized HLO text of the bench chunk program via AOT compile."""
+import pathlib as _pathlib
+import sys as _sys
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
 import jax
 import jax.numpy as jnp
 

@@ -169,7 +169,15 @@ class MultiPairScheduler:
                 "bad_epochs": self._bad.copy()}
 
     def load_state_dict(self, d) -> None:
-        self._factor = np.asarray(d["plateau_factor"], np.float64).copy()
+        factor = np.asarray(d["plateau_factor"], np.float64)
+        if factor.shape != (self.n_pairs,):
+            # A wrong-pair-count checkpoint would otherwise load silently
+            # and only surface later as an opaque shape/vmap error at
+            # dispatch.
+            raise ValueError(
+                f"scheduler checkpoint holds {factor.shape} plateau state "
+                f"but this run trains {self.n_pairs} pairs")
+        self._factor = factor.copy()
         self._best = np.asarray(d["best"], np.float64).copy()
         self._bad = np.asarray(d["bad_epochs"], np.int64).copy()
 

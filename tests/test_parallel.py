@@ -113,6 +113,37 @@ class TestManualTensorParallelVit:
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                    atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.parametrize("tp", [2, 4])
+    def test_manual_tp_attn_probs_matches_tp1(self, tp):
+        """The attn_probs tap under manual tp: local-head probabilities are
+        gathered over the head axis (_tp_allcat in vit.py) — a transpose or
+        head-order bug there would ship silently (round-3 VERDICT weak #5).
+        Heads must come back in GLOBAL head order with rows summing to 1."""
+        from jax.sharding import PartitionSpec as P
+        cfg = tiny_cfg()
+        params = vit_lib.init_vit_params(jax.random.PRNGKey(0), cfg)
+        img = jnp.asarray(np.random.default_rng(9)
+                          .standard_normal((2, 32, 32, 3)), jnp.float32)
+        ref = vit_lib.vit_forward(params, img, cfg,
+                                  taps={"attn_probs": (1,)})
+
+        mesh = mesh_lib.make_mesh(dp=1, tp=tp)
+        pparams = mesh_lib.manual_tp_permute_vit_params(params, cfg, tp)
+        specs = mesh_lib.vit_param_pspecs(pparams)
+
+        def local(p, x):
+            out = vit_lib.vit_forward(p, x, cfg, taps={"attn_probs": (1,)},
+                                      tp_manual="tp")
+            return out["attn_probs"][1]
+
+        fn = jax.shard_map(local, mesh=mesh, in_specs=(specs, P()),
+                           out_specs=P(), axis_names={"dp", "tp"})
+        with jax.set_mesh(mesh):
+            probs = jax.jit(fn)(pparams, img)
+        np.testing.assert_allclose(np.asarray(probs),
+                                   np.asarray(ref["attn_probs"][1]),
+                                   atol=1e-5, rtol=1e-5)
+
     def test_permute_roundtrip_layout(self):
         """The shard-major column permute keeps q|k|v-major global layout
         when local slices are re-concatenated shard-major (the exact
@@ -290,6 +321,18 @@ class TestMultiPairTraining:
         want = np.asarray([s.lr_for_step(39) for s in scalars])
         np.testing.assert_allclose(got, want, rtol=0, atol=0)
         assert want[1] < cfg.lr  # the flat pair actually cut
+
+    def test_multi_pair_scheduler_rejects_wrong_pair_count(self):
+        """Resuming a plateau checkpoint saved with a different pair count
+        must fail loudly at load, not as an opaque shape error at dispatch."""
+        from splice_tpu.config import load_config
+        from splice_tpu import trainer as trainer_lib
+
+        cfg = load_config(None, dict(scheduler_policy="plateau"))
+        saved = trainer_lib.MultiPairScheduler(cfg, 4).state_dict()
+        fresh = trainer_lib.MultiPairScheduler(cfg, 2)
+        with pytest.raises(ValueError, match="4.*2 pairs|\\(4,\\)"):
+            fresh.load_state_dict(saved)
 
     def test_per_pair_lr_reaches_optimizer(self):
         """The stacked opt_state hyperparams leaf is per-pair: writing

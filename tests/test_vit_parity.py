@@ -92,6 +92,29 @@ class TorchDinoVit(nn.Module):
             blocks_out.append(x)
         return blocks_out, qkv_out
 
+    def forward_probs(self, x, layer):
+        """Per-head softmax attention probabilities of one block — the
+        reference's ATTN hook tensor (reference extractor.py:44,48 taps
+        attn_drop's output, which in eval mode IS the softmax output).
+        Separate from forward_collect so bench.py's torch-CPU baseline
+        proxy (which times forward_collect) is untouched."""
+        B = x.shape[0]
+        x = self.patch_embed["proj"](x)
+        x = x.flatten(2).transpose(1, 2)
+        cls = self.cls_token.expand(B, -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for i, blk in enumerate(self.blocks):
+            if i == layer:
+                a = blk.attn
+                h = blk.norm1(x)
+                B_, N, D = h.shape
+                qkv = a.qkv(h).reshape(B_, N, 3, a.heads, D // a.heads)
+                qkv = qkv.permute(2, 0, 3, 1, 4)
+                q, k = qkv[0], qkv[1]
+                return ((q @ k.transpose(-2, -1)) * a.scale).softmax(dim=-1)
+            x = blk(x)
+        raise ValueError(layer)
+
 
 def _tiny_cfg():
     return vit_lib.VitConfig(patch_size=8, embed_dim=96, depth=3, num_heads=4,
@@ -129,6 +152,58 @@ class TestPortParity:
                 np.asarray(out["qkv"][i]), t_qkv[i].numpy(),
                 atol=2e-5, rtol=1e-4,
                 err_msg=f"qkv {i} mismatch")
+
+    def test_attn_probs_tap_matches_torch(self, ported):
+        """The ATTN tap (reference extractor.py:44,48): per-head softmax
+        probabilities of a block, vs torch softmax on the same weights.
+        Covers the plain (un-padded, un-sharded) branch of vit.py's
+        attn_probs materialization."""
+        tmodel, cfg, params = ported
+        rng = np.random.default_rng(7)
+        img = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_probs = tmodel.forward_probs(
+                torch.from_numpy(img).permute(0, 3, 1, 2), layer=1)
+        out = vit_lib.vit_forward(params, jnp.asarray(img), cfg,
+                                  taps={"attn_probs": (1,)})
+        probs = np.asarray(out["attn_probs"][1])
+        assert probs.shape == t_probs.shape     # [B, H, N, N]
+        np.testing.assert_allclose(probs, t_probs.numpy(),
+                                   atol=2e-6, rtol=1e-5)
+        # rows are probability distributions
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    def test_attn_probs_tap_masked_n_valid(self, ported):
+        """attn_probs with a pre-padded token stream (n_valid masking +
+        slice-back, vit.py's padded branch) == the unpadded tap."""
+        tmodel, cfg, params = ported
+        rng = np.random.default_rng(8)
+        img = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+        ref = vit_lib.vit_forward(params, jnp.asarray(img), cfg,
+                                  taps={"attn_probs": (1,)})
+        # Drive the same padded path vit_forward uses for PAD_TOKEN_STREAM
+        # at block level: pad the embedded stream and pass n_valid.
+        from splice_tpu.models.vit import _block, interpolate_pos_embed
+        x = jax.lax.conv_general_dilated(
+            jnp.asarray(img), params["patch_embed"]["kernel"],
+            (cfg.patch_size, cfg.patch_size), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+        x = x + params["patch_embed"]["bias"]
+        x = x.reshape(1, -1, cfg.embed_dim)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(params["cls_token"], (1, 1, cfg.embed_dim)),
+             x], axis=1)
+        x = x + interpolate_pos_embed(params["pos_embed"], cfg, 4, 4)
+        n = x.shape[1]                                        # 17
+        xp = jnp.pad(x, ((0, 0), (0, 128 - n), (0, 0)))
+        xp, _ = _block(xp, params["blocks"][0], cfg, False, (),
+                       n_valid=n)
+        _, taps = _block(xp, params["blocks"][1], cfg, False,
+                         ("attn_probs",), n_valid=n)
+        np.testing.assert_allclose(np.asarray(taps["attn_probs"]),
+                                   np.asarray(ref["attn_probs"][1]),
+                                   atol=1e-5, rtol=1e-5)
 
     def test_pallas_path_matches_torch(self, ported):
         tmodel, cfg, params = ported
