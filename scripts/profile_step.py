@@ -17,7 +17,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from splice_tpu import trainer
 from splice_tpu.config import load_config
 from splice_tpu.data import load_pair
-from splice_tpu.utils.profiling import device_trace_options
+from splice_tpu.utils.profiling import maybe_trace
 
 cfg = load_config(None, dict(
     dataroot="datasets/splicing/cows", seed=3,
@@ -36,13 +36,11 @@ state, parts = program.step_chunk(state, pair.A, pair.B, jnp.int32(1),
 _ = float(parts["loss"])
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace_step"
-jax.profiler.start_trace(outdir,
-                         profiler_options=device_trace_options())
-i = 1 + CH
-for _n in range(2):   # 2 x 10-step chunks
-    state, parts = program.step_chunk(state, pair.A, pair.B, jnp.int32(i),
-                                      key, lam, CH)
-    i += CH
-_ = float(parts["loss"])
-jax.profiler.stop_trace()
+with maybe_trace(outdir):
+    i = 1 + CH
+    for _n in range(2):   # 2 x 10-step chunks
+        state, parts = program.step_chunk(state, pair.A, pair.B,
+                                          jnp.int32(i), key, lam, CH)
+        i += CH
+    _ = float(parts["loss"])
 print("trace done, steps:", i - 1 - CH)

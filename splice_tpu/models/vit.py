@@ -382,13 +382,14 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
     B, N, _ = qkv.shape
     dh = cfg.head_dim
     Hn = qkv.shape[-1] // 3 // dh     # local head count under manual tp
-    q, k, v = [tp(t.reshape(B, N, Hn, dh).transpose(0, 2, 1, 3),
-                  (None, tp_axis, None, None))
-               for t in jnp.split(qkv, 3, axis=-1)]              # [B,H,N,dh]
     scale = dh ** -0.5
     if "attn_probs" in want:
         # Materialize probabilities only when explicitly requested (the
         # reference's ATTN tap, extractor.py:44); slow path.
+        q, k, v = [t.reshape(B, N, Hn, dh).transpose(0, 2, 1, 3)
+                   for t in jnp.split(qkv, 3, axis=-1)]          # [B,H,N,dh]
+        if tp_axis is not None:
+            q, k, v = [tp(t, (None, tp_axis, None, None)) for t in (q, k, v)]
         logits = (q.astype(jnp.float32) @
                   k.astype(jnp.float32).transpose(0, 1, 3, 2)) * scale
         if n_valid:
@@ -401,11 +402,25 @@ def _block(x, bp, cfg: VitConfig, use_pallas: bool, want,
         # normalize over valid columns; slicing loses nothing.
         taps["attn_probs"] = (probs[:, :, :n_valid, :n_valid]
                               if n_valid else probs)
-    else:
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, Hn * dh)
+    elif tp_axis is not None:
+        # GSPMD-auto tp: keep the per-head tensors so heads can carry an
+        # explicit sharding constraint (the fused-qkv kernel never
+        # materializes them).
+        q, k, v = [tp(t.reshape(B, N, Hn, dh).transpose(0, 2, 1, 3),
+                      (None, tp_axis, None, None))
+                   for t in jnp.split(qkv, 3, axis=-1)]
         o = attn_ops.multi_head_attention(q, k, v, scale,
                                           use_pallas=use_pallas,
                                           n_valid=n_valid)
-    o = o.transpose(0, 2, 1, 3).reshape(B, N, Hn * dh)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, Hn * dh)
+    else:
+        # Hot path: attention straight from the fused qkv tensor — no
+        # per-head split/transpose/pad traffic (attention_from_qkv falls
+        # back to the split-tensor path when the shape doesn't qualify).
+        o = attn_ops.attention_from_qkv(qkv, Hn, scale,
+                                        use_pallas=use_pallas,
+                                        n_valid=n_valid)
     if tp_manual:
         o = _dense_rowparallel(o, bp["attn"]["proj"], tp_manual)
     else:

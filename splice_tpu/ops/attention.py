@@ -34,15 +34,28 @@ from jax.experimental.pallas import tpu as pltpu
 # long sequences (480px, ~3.6k tokens) back to multiple q tiles.
 _BQ = 1024
 _LOGITS_VMEM_BUDGET = 4 * 1024 * 1024
+# The backward keeps ~3 [bq, n_pad] fp32 intermediates (p, dp, dl) live at
+# once, so its per-array budget is smaller: 3 MB keeps the flagship N=785
+# in ONE q tile (3 x 2.84 MB logits-sized arrays ~ 9 MB, measured fine)
+# while re-tiling intermediate token counts (N ~ 840-1200) that would
+# otherwise push 3 full-budget arrays past the ~16 MB VMEM ceiling
+# (ADVICE r03; compile-smoke-tested over N in test_attention.py).
+_BWD_LOGITS_VMEM_BUDGET = 3 * 1024 * 1024
 # Above this padded length the full-K/V-in-VMEM plan stops fitting; fall back.
 _MAX_N_PAD = 4096
 
 
-def _q_tiling(n: int) -> Tuple[int, int]:
+def _q_tiling(n: int, budget: int = _LOGITS_VMEM_BUDGET,
+              kv_len: int = 0) -> Tuple[int, int]:
     """(block_q, nq_pad): minimal 8-aligned q block covering n in the
-    fewest tiles allowed by _BQ and the fp32-logits VMEM budget."""
-    n_pad = pl.cdiv(n, 128) * 128
-    max_bq = max(8, _LOGITS_VMEM_BUDGET // (4 * n_pad))
+    fewest tiles allowed by _BQ and the fp32-logits VMEM budget.
+
+    budget caps ONE [bq, kv_len] fp32 logits block; callers holding
+    several such arrays live (the backward keeps p/dp/dl) pass a
+    proportionally smaller budget. kv_len defaults to n rounded up to a
+    lane multiple (the split-tensor kernels' kv padding)."""
+    kv = kv_len or pl.cdiv(n, 128) * 128
+    max_bq = max(8, budget // (4 * kv))
     tiles = max(pl.cdiv(n, _BQ), pl.cdiv(n, max_bq))
     bq = pl.cdiv(pl.cdiv(n, tiles), 8) * 8
     return bq, bq * tiles
@@ -236,7 +249,7 @@ def _pallas_attention_bwd_impl(q, k, v, g, scale: float, n_valid: int = 0):
     B, H, N, dh = q.shape
     valid = n_valid or N
     n_pad = pl.cdiv(N, 128) * 128
-    bq, nq_pad = _q_tiling(N)
+    bq, nq_pad = _q_tiling(N, budget=_BWD_LOGITS_VMEM_BUDGET)
     qp = jnp.pad(q.reshape(B * H, N, dh), ((0, 0), (0, nq_pad - N), (0, 0)))
     gp = jnp.pad(g.reshape(B * H, N, dh), ((0, 0), (0, nq_pad - N), (0, 0)))
     kp = jnp.pad(k.reshape(B * H, N, dh), ((0, 0), (0, n_pad - N), (0, 0)))
@@ -294,6 +307,274 @@ def _pallas_attention_bwd(scale, n_valid, res, g):
 
 
 _pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused-qkv Pallas kernels: read the raw [B, N, 3D] qkv projection, write
+# the pre-proj [B, N, D] attention output
+# ---------------------------------------------------------------------------
+#
+# The split-tensor kernels above take q/k/v as [B, H, N, dh] — the layout
+# torch attention materializes. Producing it from the qkv dense's natural
+# [B, N, 3D] output costs real data movement per ViT block: 3 splits, a
+# [B,N,H,dh]->[B,H,N,dh] transpose per operand, per-operand pads to the
+# tile grid, and the inverse transpose on the output (round-4 trace:
+# ~1.3 ms/step of copy/pad lines around the attention calls at the
+# flagship workload). Here the grid cell indexes straight into the fused
+# tensor instead: head PAIR j reads q at lane chunk j, k at chunk C+j, v
+# at chunk 2C+j (C = D/128 chunks per section; dh=64 so one 128-lane
+# chunk is exactly two heads), and writes its [bq, 128] output slice into
+# a [B, N, D] array the proj dense consumes directly. The only data
+# movement left is ONE token-axis pad of qkv to a sublane multiple.
+
+def _attn_qkv_kernel(q_ref, k_ref, v_ref, *refs, scale: float, dh: int):
+    """One (batch, head-pair, q-block) grid cell.
+
+    q_ref: [1, BQ, 128]; k_ref/v_ref: [1, N_pad, 128]; o_ref: [1, BQ, 128].
+    The 128-lane chunk holds two dh=64 heads side by side; each computes
+    its own softmax (same math as _attn_kernel) and lands in its own
+    output lane half."""
+    bias_ref, o_ref = (refs if len(refs) == 2 else (None, refs[0]))
+    outs = []
+    for h in range(128 // dh):
+        q = q_ref[0][:, h * dh:(h + 1) * dh]
+        k = k_ref[0][:, h * dh:(h + 1) * dh]
+        v = v_ref[0][:, h * dh:(h + 1) * dh]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [BQ, N_pad]
+        if bias_ref is not None:
+            logits = logits + bias_ref[...]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append(o / denom)
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _attn_qkv_fwd_impl(qkv, scale: float, n_valid: int, num_heads: int):
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    dh = D // num_heads
+    C = D // 128                       # lane chunks per q/k/v section
+    valid = n_valid or N
+    bq, n_pad = _q_tiling(N, kv_len=pl.cdiv(N, 8) * 8)
+    # ONE pad of the fused tensor to the tile grid (the kv length is the
+    # same token axis, so kv columns pad to n_pad too — a sublane multiple,
+    # not a lane multiple; Mosaic masks the non-128 logits lane remainder).
+    qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
+    masked = valid < n_pad
+    kernel = functools.partial(_attn_qkv_kernel, scale=float(scale), dh=dh)
+    interpret = jax.default_backend() == "cpu"
+    in_specs = [
+        pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, 128), lambda b, j, i: (b, 0, C + j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, 128), lambda b, j, i: (b, 0, 2 * C + j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qkvp, qkvp, qkvp]
+    if masked:
+        in_specs.append(pl.BlockSpec((1, n_pad), lambda b, j, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pad_mask_bias(valid, n_pad))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, D), qkv.dtype),
+        grid=(B, C, n_pad // bq),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * N * N * dh,
+            bytes_accessed=4 * B * N * D * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :N]
+
+
+def _attn_qkv_bwd_kernel(q_ref, k_ref, v_ref, g_ref, *refs, scale: float,
+                         dh: int, nq_tiles: int):
+    """One (batch, head-pair, q-block) grid cell of the fused backward.
+
+    Same recompute-based math as _attn_bwd_kernel, two heads per cell;
+    dk/dv accumulate in fp32 VMEM scratch across the sequential q grid
+    and flush on the last block."""
+    if len(refs) == 6:
+        bias_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+    else:
+        bias_ref = None
+        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+    i = pl.program_id(2)
+    dqs, dks, dvs = [], [], []
+    for h in range(128 // dh):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        g = g_ref[0][:, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            logits = logits + bias_ref[...]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)           # fp32 [BQ, N]
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dl = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dl_c = dl.astype(q.dtype)
+        dqs.append(jax.lax.dot_general(
+            dl_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+        dks.append(jax.lax.dot_general(
+            dl_c, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+        dvs.append(jax.lax.dot_general(
+            p.astype(v.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+    dk_c = jnp.concatenate(dks, axis=1)
+    dv_c = jnp.concatenate(dvs, axis=1)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = dk_c
+        dv_acc[:] = dv_c
+
+    @pl.when(i > 0)
+    def _():
+        dk_acc[:] += dk_c
+        dv_acc[:] += dv_c
+
+    @pl.when(i == nq_tiles - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _attn_qkv_bwd_impl(qkv, g, scale: float, n_valid: int, num_heads: int):
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    dh = D // num_heads
+    C = D // 128
+    valid = n_valid or N
+    bq, n_pad = _q_tiling(N, budget=_BWD_LOGITS_VMEM_BUDGET,
+                          kv_len=pl.cdiv(N, 8) * 8)
+    # kv rows ride the same token axis as q rows, so the array pads to the
+    # q grid; recompute n_pad accordingly (kv_len above is only the budget
+    # estimate).
+    qkvp = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, n_pad - N), (0, 0)))
+    nq_tiles = n_pad // bq
+    masked = valid < n_pad
+    kernel = functools.partial(_attn_qkv_bwd_kernel, scale=float(scale),
+                               dh=dh, nq_tiles=nq_tiles)
+    interpret = jax.default_backend() == "cpu"
+    bq_spec = pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, j),
+                           memory_space=pltpu.VMEM)
+    kv_spec_k = pl.BlockSpec((1, n_pad, 128), lambda b, j, i: (b, 0, C + j),
+                             memory_space=pltpu.VMEM)
+    kv_spec_v = pl.BlockSpec((1, n_pad, 128),
+                             lambda b, j, i: (b, 0, 2 * C + j),
+                             memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((1, n_pad, 128), lambda b, j, i: (b, 0, j),
+                             memory_space=pltpu.VMEM)
+    in_specs = [bq_spec, kv_spec_k, kv_spec_v, bq_spec]
+    operands = [qkvp, qkvp, qkvp, gp]
+    if masked:
+        in_specs.append(pl.BlockSpec((1, n_pad), lambda b, j, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pad_mask_bias(valid, n_pad))
+    dq_p, dk_p, dv_p = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, n_pad, D), qkv.dtype),
+                   jax.ShapeDtypeStruct((B, n_pad, D), qkv.dtype),
+                   jax.ShapeDtypeStruct((B, n_pad, D), qkv.dtype)),
+        grid=(B, C, nq_tiles),
+        in_specs=in_specs,
+        out_specs=(bq_spec, full_spec, full_spec),
+        scratch_shapes=[pltpu.VMEM((n_pad, 128), jnp.float32),
+                        pltpu.VMEM((n_pad, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * num_heads * N * N * dh,
+            bytes_accessed=8 * B * N * D * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N),
+        interpret=interpret,
+    )(*operands)
+    return jnp.concatenate(
+        [dq_p[:, :N], dk_p[:, :N], dv_p[:, :N]], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _pallas_attention_qkv(qkv, scale, n_valid, num_heads):
+    return _attn_qkv_fwd_impl(qkv, scale, n_valid, num_heads)
+
+
+def _pallas_attention_qkv_fwd(qkv, scale, n_valid, num_heads):
+    return _attn_qkv_fwd_impl(qkv, scale, n_valid, num_heads), qkv
+
+
+def _pallas_attention_qkv_bwd(scale, n_valid, num_heads, qkv, g):
+    return (_attn_qkv_bwd_impl(qkv, g, scale, n_valid, num_heads),)
+
+
+_pallas_attention_qkv.defvjp(_pallas_attention_qkv_fwd,
+                             _pallas_attention_qkv_bwd)
+
+
+# Measured VMEM bound for the fused-qkv backward on v5e: two heads per
+# grid cell keep both heads' [bq, n_pad] fp32 intermediates live, so the
+# per-cell footprint is ~2x the split-tensor kernel's. n_pad=2048 compiles
+# and runs (value+grad, real chip); 3672 overflows the 16 MB scoped-vmem
+# stack (23.3 MB). Longer sequences (480px loss resolution, ~3.6k tokens)
+# fall back to the split-tensor kernels, whose own tiling handles them.
+_QKV_MAX_N_PAD = 2048
+
+
+def qkv_attention_supported(qkv, num_heads: int) -> bool:
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    if D % num_heads or D // num_heads != 64 or D % 128:
+        return False                   # exactly two dh=64 heads per chunk
+    return pl.cdiv(N, 8) * 8 <= _QKV_MAX_N_PAD
+
+
+def attention_from_qkv(qkv, num_heads: int, scale: float,
+                       use_pallas: bool = False,
+                       n_valid: int = 0) -> jax.Array:
+    """Multi-head attention straight from the fused qkv projection.
+
+    qkv: [B, N, 3D] laid out q|k|v-major with heads contiguous inside each
+    section (the DINO qkv dense layout, reference extractor.py:139-144).
+    Returns the pre-proj attention output [B, N, D] — head-concatenated,
+    exactly what the proj dense consumes. On the Pallas path neither the
+    per-head [B,H,N,dh] tensors nor their layout transposes ever
+    materialize; the fallback reproduces the split-tensor path bit-for-bit.
+    """
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    dh = D // num_heads
+    if use_pallas and qkv_attention_supported(qkv, num_heads):
+        return _pallas_attention_qkv(qkv, float(scale), int(n_valid),
+                                     num_heads)
+    q, k, v = [t.reshape(B, N, num_heads, dh).transpose(0, 2, 1, 3)
+               for t in jnp.split(qkv, 3, axis=-1)]
+    o = multi_head_attention(q, k, v, scale, use_pallas=use_pallas,
+                             n_valid=n_valid)
+    return o.transpose(0, 2, 1, 3).reshape(B, N, D)
 
 
 def pallas_attention_supported(q) -> bool:

@@ -4,7 +4,6 @@ annotations, viewable in TensorBoard/Perfetto/XProf)."""
 from __future__ import annotations
 
 import contextlib
-import time
 from typing import Iterator, Optional
 
 import jax
@@ -36,25 +35,3 @@ def maybe_trace(profile_dir: Optional[str],
         jax.profiler.stop_trace()
 
 
-def step_annotation(name: str):
-    """Named region in the trace timeline (e.g. 'train_step')."""
-    return jax.profiler.StepTraceAnnotation(name)
-
-
-class Stopwatch:
-    """Cheap wall-clock sections for host-side cost accounting."""
-
-    def __init__(self):
-        self.totals: dict = {}
-
-    @contextlib.contextmanager
-    def section(self, name: str):
-        t0 = time.perf_counter()
-        try:
-            yield
-        finally:
-            self.totals[name] = self.totals.get(name, 0.0) \
-                + time.perf_counter() - t0
-
-    def summary(self) -> dict:
-        return dict(sorted(self.totals.items(), key=lambda kv: -kv[1]))

@@ -31,12 +31,15 @@ def main():
     model.load_state_dict({k: torch.from_numpy(v)
                            for k, v in state.items()})
     img = golden_vit.make_input()
+    timg = torch.from_numpy(img).permute(0, 3, 1, 2)
     with torch.no_grad():
-        blocks, qkv = model.forward_collect(
-            torch.from_numpy(img).permute(0, 3, 1, 2))
+        blocks, qkv = model.forward_collect(timg)
+        final = model.norm(blocks[-1])[0].numpy()       # [785, 768]
+        probs = model.forward_probs(timg, layer=11)[0].numpy()  # [12,785,785]
     qkv11 = qkv[-1][0].numpy()        # [785, 2304]
     blk11 = blocks[-1][0].numpy()     # [785, 768]
     rows = golden_vit.GOLDEN_ROWS
+    prow = golden_vit.PROB_ROWS
     out = HERE / "golden_vitb8.npz"
     np.savez_compressed(
         out,
@@ -48,10 +51,19 @@ def main():
         qkv11_std=np.float64(qkv11.std()),
         block11_mean=np.float64(blk11.mean()),
         block11_std=np.float64(blk11.std()),
+        # round-3 VERDICT next #5: freeze the final-norm output and one
+        # attention-probability row block so shared-assumption regressions
+        # in those paths are pinned to today's behavior.
+        final_rows=final[rows].astype(np.float16),
+        final_mean=np.float64(final.mean()),
+        final_std=np.float64(final.std()),
+        prob_rows=prow,
+        probs11_rows=probs[:, prow, :].astype(np.float16),
         seed=np.int64(golden_vit.SEED),
     )
     print(f"wrote {out} ({out.stat().st_size / 1024:.0f} KiB); "
-          f"qkv11 std={qkv11.std():.4f} blk11 std={blk11.std():.4f}")
+          f"qkv11 std={qkv11.std():.4f} blk11 std={blk11.std():.4f} "
+          f"final std={final.std():.4f}")
 
 
 if __name__ == "__main__":

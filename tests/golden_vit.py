@@ -36,6 +36,11 @@ MLP_HIDDEN = 4 * DIM
 N_TOKENS = 1 + (IMG // PATCH) ** 2
 GOLDEN_ROWS = np.unique(np.concatenate(
     [[0], np.linspace(1, N_TOKENS - 1, 63).astype(np.int64)]))
+# Query rows for the stored layer-11 attention-probability block
+# ([HEADS, len(PROB_ROWS), N_TOKENS]): full prob tensors are too big to
+# commit, but any transpose/normalization/head-interleave bug corrupts
+# every row, so CLS + a spread of patch rows suffices.
+PROB_ROWS = np.asarray([0, 1, 100, 392, 700, N_TOKENS - 1], np.int64)
 
 
 def make_state(seed: int = SEED) -> Dict[str, np.ndarray]:

@@ -71,6 +71,119 @@ class TestPallasMatchesXla:
         assert out.shape == q.shape
 
 
+class TestFusedQkvAttention:
+    """attention_from_qkv: the hot path that reads the raw [B, N, 3D] qkv
+    projection and returns the pre-proj [B, N, D] output without ever
+    materializing per-head tensors. Must match the split-tensor path
+    bit-for-bit-ish on forward AND gradients (the generator's grads flow
+    through these forwards, reference losses.py:81,90,103)."""
+
+    def _rand(self, key, B=2, N=100, H=4, dh=64, dtype=jnp.float32):
+        return jax.random.normal(key, (B, N, 3 * H * dh), dtype)
+
+    def _ref(self, qkv, H, scale, n_valid=0):
+        B, N, threeD = qkv.shape
+        D = threeD // 3
+        q, k, v = [t.reshape(B, N, H, D // H).transpose(0, 2, 1, 3)
+                   for t in jnp.split(qkv, 3, axis=-1)]
+        o = att._xla_attention(q, k, v, scale,
+                               n_valid=n_valid if n_valid else None)
+        return o.transpose(0, 2, 1, 3).reshape(B, N, D)
+
+    @pytest.mark.parametrize("N", [64, 100, 785])
+    def test_forward_matches_split_path(self, N):
+        qkv = self._rand(jax.random.PRNGKey(10), B=1, H=4, N=N)
+        assert att.qkv_attention_supported(qkv, 4)
+        ours = att.attention_from_qkv(qkv, 4, 0.125, use_pallas=True)
+        ref = self._ref(qkv, 4, 0.125)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_head_identity_not_mixed(self):
+        """Zeroing one head's v must zero exactly that head's output
+        slice — catches any cross-head mixing in the two-heads-per-chunk
+        kernel."""
+        H, dh, N = 4, 64, 64
+        qkv = self._rand(jax.random.PRNGKey(11), B=1, H=H, N=N)
+        D = H * dh
+        # zero v of head 1 (v section starts at 2D)
+        qkv = qkv.at[:, :, 2 * D + dh:2 * D + 2 * dh].set(0.0)
+        out = att.attention_from_qkv(qkv, H, 0.125, use_pallas=True)
+        out = np.asarray(out)
+        assert np.abs(out[:, :, dh:2 * dh]).max() == 0.0
+        assert np.abs(out[:, :, :dh]).max() > 0.0
+
+    def test_grads_match_split_path(self):
+        qkv = self._rand(jax.random.PRNGKey(12), B=1, H=2, N=96)
+
+        def loss_fused(qkv):
+            return jnp.sum(
+                att.attention_from_qkv(qkv, 2, 0.125, use_pallas=True) ** 2)
+
+        def loss_ref(qkv):
+            return jnp.sum(self._ref(qkv, 2, 0.125) ** 2)
+
+        gf = jax.grad(loss_fused)(qkv)
+        gr = jax.grad(loss_ref)(qkv)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_masked_n_valid_matches(self):
+        """Padded token stream: valid rows of the fused kernel == the
+        unpadded reference, forward and grads."""
+        N, PAD = 100, 128
+        qkv = self._rand(jax.random.PRNGKey(13), B=1, H=2, N=N)
+        qkvp = jnp.pad(qkv, ((0, 0), (0, PAD - N), (0, 0)))
+        out = att.attention_from_qkv(qkvp, 2, 0.125, use_pallas=True,
+                                     n_valid=N)
+        ref = self._ref(qkv, 2, 0.125)
+        np.testing.assert_allclose(np.asarray(out[:, :N]), np.asarray(ref),
+                                   atol=2e-5)
+
+        def loss_padded(qkv):
+            qkvp = jnp.pad(qkv, ((0, 0), (0, PAD - N), (0, 0)))
+            out = att.attention_from_qkv(qkvp, 2, 0.125, use_pallas=True,
+                                         n_valid=N)
+            return jnp.sum(out[:, :N] ** 2)
+
+        def loss_ref(qkv):
+            return jnp.sum(self._ref(qkv, 2, 0.125) ** 2)
+
+        gp = jax.grad(loss_padded)(qkv)
+        gr = jax.grad(loss_ref)(qkv)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_unsupported_shapes_fall_back(self):
+        # odd head count (D % 128 != 0) and dh != 64 both route to the
+        # split-tensor path and still produce correct output
+        for H, dh in ((3, 64), (2, 48)):
+            key = jax.random.PRNGKey(14 + H)
+            qkv = jax.random.normal(key, (1, 40, 3 * H * dh))
+            assert not att.qkv_attention_supported(qkv, H)
+            out = att.attention_from_qkv(qkv, H, 0.125, use_pallas=True)
+            ref = self._ref(qkv, H, 0.125)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5)
+
+    @pytest.mark.parametrize("N", [256, 785, 1024, 2048, 3600])
+    def test_tiling_compiles_across_token_counts(self, N):
+        """Compile/run smoke over the supported N range (ADVICE r03: the
+        backward tiling must stay inside VMEM at intermediate N) — runs
+        value AND grad so both kernels instantiate at each tiling.
+        N=3600 exceeds the fused kernel's measured VMEM bound and must
+        route through the split-tensor fallback."""
+        if N > att._QKV_MAX_N_PAD:
+            qkv_probe = self._rand(jax.random.PRNGKey(15), B=1, H=2, N=N)
+            assert not att.qkv_attention_supported(qkv_probe, 2)
+        qkv = self._rand(jax.random.PRNGKey(15), B=1, H=2, N=N,
+                         dtype=jnp.float32)
+        val, grad = jax.value_and_grad(lambda t: jnp.sum(
+            att.attention_from_qkv(t, 2, 0.125, use_pallas=True) ** 2))(qkv)
+        assert np.isfinite(float(val))
+        assert np.all(np.isfinite(np.asarray(grad)))
+
+
 class TestPaddedTokenStream:
     """n_valid contract: a pre-padded token axis with masked keys must
     reproduce unpadded attention on the valid rows, forward and backward,

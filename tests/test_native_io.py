@@ -74,3 +74,21 @@ class TestNativePng:
         back = np.asarray(Image.open(tmp_path / "a.png"))
         assert back.shape == (8, 8, 3)
         saver.close()
+
+
+def test_save_result_reference_path_contract(tmp_path):
+    """save_result writes <dataroot>/out/<filename> from a float [0,1]
+    image (reference util/util.py:55-59 contract) and round-trips the
+    quantized pixels."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    img = rng.random((6, 5, 3)).astype(np.float32)
+    path = io_utils.save_result(img, str(tmp_path / "pairroot"))
+    assert path.endswith("out/output.png")
+    back = np.asarray(Image.open(path))
+    assert back.shape == (6, 5, 3)
+    # truncating quantization, like the reference's tensor2im
+    # (util/util.py:42-52 casts after *255 without rounding)
+    np.testing.assert_array_equal(
+        back, (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8))

@@ -409,3 +409,17 @@ class TestLanczosReferenceParity:
         out = out.permute(0, 2, 3, 1).numpy()
         assert ours.shape == out.shape == (1, 6, 6, 3)
         np.testing.assert_allclose(ours, out, atol=1e-5)
+
+
+def test_gen_noise_shape_dtype_determinism():
+    """GenNoise parity stub (reference common.py:45-60): input's spatial
+    shape, requested channel count, input dtype; same key -> same noise."""
+    import jax
+
+    x = jnp.zeros((2, 5, 7, 3), jnp.bfloat16)
+    k = jax.random.PRNGKey(0)
+    n1 = unet.gen_noise(k, x, dim2=4)
+    n2 = unet.gen_noise(k, x, dim2=4)
+    assert n1.shape == (2, 5, 7, 4) and n1.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    assert float(jnp.std(n1.astype(jnp.float32))) > 0.5

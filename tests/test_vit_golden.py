@@ -40,14 +40,18 @@ def ours(golden):
     params = w_lib.port_torch_state_dict(state, cfg)
     img = golden_vit.make_input(int(golden["seed"]))
     out = vit_lib.vit_forward(params, jnp.asarray(img), cfg,
-                              taps={"block": (11,), "qkv": (11,)})
+                              taps={"block": (11,), "qkv": (11,),
+                                    "attn_probs": (11,)},
+                              final_norm=True)
     return (np.asarray(out["qkv"][11][0], np.float32),
-            np.asarray(out["block"][11][0], np.float32))
+            np.asarray(out["block"][11][0], np.float32),
+            np.asarray(out["final"][-1][0], np.float32),
+            np.asarray(out["attn_probs"][11][0], np.float32))
 
 
 class TestGoldenVitB8:
     def test_qkv11_rows(self, golden, ours):
-        qkv11, _ = ours
+        qkv11 = ours[0]
         rows = golden["rows"]
         # goldens stored fp16: quantization error <= 2^-11 relative; the
         # activations have std ~0.56 so atol dominated by fp16 storage.
@@ -56,7 +60,7 @@ class TestGoldenVitB8:
             atol=4e-3, rtol=2e-3)
 
     def test_block11_rows(self, golden, ours):
-        _, blk11 = ours
+        blk11 = ours[1]
         rows = golden["rows"]
         np.testing.assert_allclose(
             blk11[rows], golden["block11_rows"].astype(np.float32),
@@ -65,18 +69,47 @@ class TestGoldenVitB8:
     def test_cls_token(self, golden, ours):
         """The appearance feature (reference util/losses.py:85-94 reads the
         last block's CLS row) at fp32 fixture precision."""
-        _, blk11 = ours
+        blk11 = ours[1]
         np.testing.assert_allclose(blk11[0], golden["cls11"],
                                     atol=5e-4, rtol=1e-4)
 
     def test_global_moments(self, golden, ours):
         """Whole-tensor statistics: catches a wrong in the 721 rows the
         fixture doesn't store."""
-        qkv11, blk11 = ours
+        qkv11, blk11 = ours[0], ours[1]
         assert abs(qkv11.mean() - golden["qkv11_mean"]) < 1e-4
         assert abs(qkv11.std() - golden["qkv11_std"]) < 1e-3
         assert abs(blk11.mean() - golden["block11_mean"]) < 1e-4
         assert abs(blk11.std() - golden["block11_std"]) < 1e-3
+
+    def test_final_norm_rows(self, golden, ours):
+        """DINO's trunk output (final LayerNorm) at full scale (round-3
+        VERDICT next #5: freeze the final path against regression)."""
+        if "final_rows" not in golden:
+            pytest.skip("fixture predates final_rows; regenerate")
+        final = ours[2]
+        rows = golden["rows"]
+        np.testing.assert_allclose(
+            final[rows], golden["final_rows"].astype(np.float32),
+            atol=8e-3, rtol=2e-3)
+        assert abs(final.mean() - golden["final_mean"]) < 1e-4
+        assert abs(final.std() - golden["final_std"]) < 1e-3
+
+    def test_attn_probs_rows(self, golden, ours):
+        """Layer-11 attention probabilities (the reference's ATTN hook,
+        extractor.py:44) for a row block, all 12 heads, at full scale."""
+        if "probs11_rows" not in golden:
+            pytest.skip("fixture predates probs11_rows; regenerate")
+        probs = ours[3]                           # [12, 785, 785]
+        prow = golden["prob_rows"]
+        got = probs[:, prow, :]
+        # prob values are <= 1 and mostly ~1/785; fp16 storage quantizes
+        # to ~6e-8 absolute at that scale — tolerance dominated by the
+        # fp32-vs-torch softmax path difference.
+        np.testing.assert_allclose(
+            got, golden["probs11_rows"].astype(np.float32),
+            atol=2e-5, rtol=2e-3)
+        np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-4)
 
 
 class TestPaddedTokenStreamVit:
