@@ -64,6 +64,18 @@ def _q_tiling(n: int, budget: int = _LOGITS_VMEM_BUDGET,
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _sds(shape, dtype, like) -> jax.ShapeDtypeStruct:
+    """ShapeDtypeStruct for a pallas_call output, propagating `like`'s
+    varying-manual-axes set: inside a check_vma=True shard_map (the
+    manual-tp training path) pallas_call outputs must declare how they
+    vary over the mesh axes — the kernel output varies exactly like its
+    operands."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _xla_attention(q, k, v, scale, n_valid=None):
     """Plain XLA attention. q,k,v: [B, H, N, dh]. fp32 softmax.
 
@@ -154,7 +166,7 @@ def _pallas_attention_fwd_impl(q, k, v, scale: float, n_valid: int = 0):
         operands.append(_pad_mask_bias(valid, n_pad))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B * H, nq_pad, dh), q.dtype),
+        out_shape=_sds((B * H, nq_pad, dh), q.dtype, q),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, dh), lambda b, i: (b, i, 0),
@@ -271,9 +283,9 @@ def _pallas_attention_bwd_impl(q, k, v, g, scale: float, n_valid: int = 0):
         operands.append(_pad_mask_bias(valid, n_pad))
     dq_p, dk_p, dv_p = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((B * H, nq_pad, dh), q.dtype),
-                   jax.ShapeDtypeStruct((B * H, n_pad, dh), k.dtype),
-                   jax.ShapeDtypeStruct((B * H, n_pad, dh), v.dtype)),
+        out_shape=(_sds((B * H, nq_pad, dh), q.dtype, q),
+                   _sds((B * H, n_pad, dh), k.dtype, k),
+                   _sds((B * H, n_pad, dh), v.dtype, v)),
         grid=(B * H, nq_tiles),
         in_specs=in_specs,
         out_specs=(bq_spec, kv_spec, kv_spec),
@@ -384,7 +396,7 @@ def _attn_qkv_fwd_impl(qkv, scale: float, n_valid: int, num_heads: int):
         operands.append(_pad_mask_bias(valid, n_pad))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, D), qkv.dtype),
+        out_shape=_sds((B, n_pad, D), qkv.dtype, qkv),
         grid=(B, C, n_pad // bq),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, j),
@@ -498,9 +510,9 @@ def _attn_qkv_bwd_impl(qkv, g, scale: float, n_valid: int, num_heads: int):
         operands.append(_pad_mask_bias(valid, n_pad))
     dq_p, dk_p, dv_p = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((B, n_pad, D), qkv.dtype),
-                   jax.ShapeDtypeStruct((B, n_pad, D), qkv.dtype),
-                   jax.ShapeDtypeStruct((B, n_pad, D), qkv.dtype)),
+        out_shape=(_sds((B, n_pad, D), qkv.dtype, qkv),
+                   _sds((B, n_pad, D), qkv.dtype, qkv),
+                   _sds((B, n_pad, D), qkv.dtype, qkv)),
         grid=(B, C, nq_tiles),
         in_specs=in_specs,
         out_specs=(bq_spec, full_spec, full_spec),

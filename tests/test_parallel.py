@@ -113,6 +113,70 @@ class TestManualTensorParallelVit:
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                    atol=1e-4, rtol=1e-4)
 
+    def test_manual_tp_fused_qkv_kernel_shapes(self):
+        """Manual tp with shapes the fused-qkv attention kernel accepts
+        (dh=64, even local head count): tp=2 must match tp=1 on taps and
+        input grads with use_pallas=True — the production ViT-B/tp=2
+        configuration routes through attention_from_qkv's kernel path,
+        which the tiny dh=16 config above cannot reach.
+
+        check_vma=False here: jax's pallas HLO *interpreter* (the CPU
+        test path) fails vma tracking internally ("Primitive
+        dynamic_slice requires varying manual axes to match") — a jax
+        limitation, not a kernel property; the kernels DO declare output
+        vma for the real Mosaic path (attention._sds), which check_vma
+        shard_map requires on hardware. Without vma tracking shard_map's
+        transpose skips the invariant-boundary psums, so tp=2 grads are
+        NOT comparable to tp=1 grads here; instead the gradient check
+        compares the fused kernel against the XLA fallback under the
+        IDENTICAL tp=2 construction — isolating exactly the kernel's
+        backward (the vma-checked cross-tp grad equivalence is covered at
+        dh=16 by test_manual_tp_matches_tp1_with_pallas above)."""
+        from jax.sharding import PartitionSpec as P
+        from splice_tpu.ops import attention as att
+        cfg = vit_lib.VitConfig(patch_size=8, embed_dim=256, depth=2,
+                                num_heads=4, img_size=32)
+        # sanity: local qkv at tp=2 qualifies for the fused kernel
+        probe = jnp.zeros((1, 17, 3 * 128))
+        assert att.qkv_attention_supported(probe, 2)
+        params = vit_lib.init_vit_params(jax.random.PRNGKey(0), cfg)
+        img = jnp.asarray(np.random.default_rng(5)
+                          .standard_normal((2, 32, 32, 3)), jnp.float32)
+
+        def run(tp, use_pallas):
+            mesh = mesh_lib.make_mesh(dp=1, tp=tp)
+            pparams = mesh_lib.manual_tp_permute_vit_params(params, cfg, tp)
+            specs = mesh_lib.vit_param_pspecs(pparams)
+
+            def local(p, x):
+                def loss(xx):
+                    out = vit_lib.vit_forward(
+                        p, xx, cfg, taps={"qkv": (1,), "block": (1,)},
+                        use_pallas=use_pallas,
+                        tp_manual="tp" if tp > 1 else None)
+                    return (jnp.sum(out["qkv"][1].astype(jnp.float32) ** 2)
+                            + jnp.sum(out["block"][1]
+                                      .astype(jnp.float32) ** 2), out)
+                (l, out), g = jax.value_and_grad(loss, has_aux=True)(x)
+                return l, g, out["qkv"][1], out["block"][1]
+
+            fn = jax.shard_map(local, mesh=mesh, in_specs=(specs, P()),
+                               out_specs=(P(), P(), P(), P()),
+                               axis_names={"dp", "tp"}, check_vma=False)
+            with jax.set_mesh(mesh):
+                return jax.jit(fn)(pparams, img)
+
+        l1, _, qkv1, blk1 = run(1, True)
+        l2, g2, qkv2, blk2 = run(2, True)
+        _, gx, _, _ = run(2, False)      # XLA fallback, same construction
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(qkv2), np.asarray(qkv1),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(blk2), np.asarray(blk1),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(gx),
+                                   atol=1e-4, rtol=1e-4)
+
     @pytest.mark.parametrize("tp", [2, 4])
     def test_manual_tp_attn_probs_matches_tp1(self, tp):
         """The attn_probs tap under manual tp: local-head probabilities are
