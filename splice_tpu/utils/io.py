@@ -66,13 +66,22 @@ class AsyncImageSaver:
     Bounded queue; when it is full, save() DROPS the new frame (a newer
     render of the same path lands at the next log boundary). Frames that
     must not be lost — final outputs, unique per-frame video artifacts —
-    pass must_write=True, which blocks until queued instead."""
+    pass must_write=True, which blocks until queued instead.
+
+    Concurrency model (tests/test_concurrency.py exercises it): any
+    number of threads may call save() concurrently (queue.Queue is the
+    synchronization point; the writer thread is the single consumer and
+    the only thread doing d2h transfers and file IO). close() drains the
+    queue, stops the worker, and is idempotent; save() after close is a
+    silent no-op (the drop discipline, not an error). flush() may be
+    called from any producer thread."""
 
     def __init__(self):
         # Deep enough that several queued log-boundary frames never block
         # the train loop (each drain is a multi-MB d2h through the tunnel;
         # video mode hits 4+ saves per ~2s frame).
         self._q: "queue.Queue" = queue.Queue(maxsize=16)
+        self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -99,6 +108,8 @@ class AsyncImageSaver:
         must_write=True blocks until the image is queued instead of
         dropping it — use for unique artifacts (per-frame video outputs)
         where "a newer one will land shortly" doesn't hold."""
+        if self._closed:
+            return
         if must_write:
             self._q.put((image_hwc01, path))
             return
@@ -111,6 +122,9 @@ class AsyncImageSaver:
         self._q.join()
 
     def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
         self.flush()
         self._q.put(None)
         self._thread.join(timeout=5)

@@ -31,13 +31,24 @@ class MetricsLogger:
     there — through a remote-TPU tunnel every blocking fetch on the train
     thread is a network roundtrip, and at video-mode cadence (several log
     boundaries per ~2s frame) those roundtrips were a measurable slice of
-    the frame wall time."""
+    the frame wall time.
+
+    Concurrency model (tests/test_concurrency.py exercises it): any
+    number of threads may call log_async concurrently (the worker thread
+    is the single file writer, so JSONL records never interleave);
+    records are dropped rather than blocking when the queue is full.
+    Mixing synchronous log() with concurrent log_async is NOT supported
+    (two writers would share the fh) — the training loops only use
+    log_async. close() drains the queue, stops the worker, closes the
+    file, and is idempotent; log_async after close is a silent no-op."""
 
     def __init__(self, path: Optional[str] = None):
         self.path = path
         self._fh = None
         self._q: Optional["queue.Queue"] = None
         self._thread = None
+        self._lock = threading.Lock()   # guards worker spawn vs close
+        self._closed = False
         if path:
             pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
             self._fh = open(path, "a", buffering=1)
@@ -59,12 +70,21 @@ class MetricsLogger:
                   with_memory: bool = False) -> None:
         """Queue a record whose device-array values are fetched in the
         worker thread (ordering with other log_async calls preserved)."""
-        if self._fh is None:
+        if self._fh is None or self._closed:
             return
         if self._thread is None:
-            self._q = queue.Queue(maxsize=64)
-            self._thread = threading.Thread(target=self._run, daemon=True)
-            self._thread.start()
+            with self._lock:
+                # re-check under the lock: a concurrent close() may have
+                # won the race (a respawned worker would write to a
+                # closing fh), and a concurrent log_async may have
+                # already spawned the worker.
+                if self._closed:
+                    return
+                if self._thread is None:
+                    self._q = queue.Queue(maxsize=64)
+                    self._thread = threading.Thread(target=self._run,
+                                                    daemon=True)
+                    self._thread.start()
         host = {"t": round(time.perf_counter() - self.t0, 4),
                 **(host_data or {})}
         try:
@@ -89,6 +109,10 @@ class MetricsLogger:
                 self._q.task_done()
 
     def close(self) -> None:
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
         if self._thread is not None:
             self._q.join()
             self._q.put(None)
