@@ -57,6 +57,14 @@ def crop_canvas_size(h: int, w: int, requested: int = 0,
     transforms.py:22-23); we land crops on a static canvas so XLA compiles
     once. Auto policy: min(H, W) rounded down to a multiple of 32 (5 stride-2
     scales divide evenly -> no center-crop trims inside the U-Net).
+
+    (Measured negative: a 128m-8 canvas (888) to absorb the 3x3 convs' +2
+    border inside the conv kernel's 128-lane alignment benched 29.9 vs 30.1
+    steps/s at 896 — the Pallas lane saving was outweighed by every XLA
+    elementwise/reduction op losing its exact 7x128-lane minor dim. The
+    lane-alignment problem is instead solved in-kernel: the SAME-mode conv
+    masks the roll wraparound lanes so no horizontal pre-pad exists at all;
+    see ops/conv_pallas.py.)
     """
     if requested > 0:
         return requested

@@ -399,6 +399,48 @@ def conv2d_chw(x: jax.Array, p: Dict[str, jax.Array], stride: int = 1,
     return out
 
 
+def upsample2x_chw(x: jax.Array, method: str) -> jax.Array:
+    """Exact 2x upsample for [B, C, H, W], matching jax.image.resize /
+    torch nn.Upsample(align_corners=False) half-pixel semantics
+    (reference skip.py:88 uses nn.Upsample(scale_factor=2, 'bilinear')).
+    """
+    b, c, h, w = x.shape
+    # MEASURED NEGATIVE (round 4, twice): hand-rolled x2 blends lose to
+    # jax.image.resize here. (a) stack+reshape interleave: the [..., w, 2]
+    # intermediate puts a size-2 dim lane-minor and XLA relayouts every
+    # element (+3 ms/step of copies at the flagship workload, 30.1 ->
+    # 26.1 steps/s). (b) 32-bit pack + bitcast_convert interleave: TPU
+    # bf16 tiling pairs SUBLANES (2,1), not lanes, so the bitcast forms
+    # are just as layout-hostile (26.1 -> 24.3). XLA's separable resize
+    # (two 1-D convs, ~1.3 ms/step for all U-Net scales) wins; keep this
+    # wrapper as the single callsite so future attempts slot in here.
+    return jax.image.resize(x, (b, c, 2 * h, 2 * w), method=method)
+
+
+def bn_affine_from_sums(s1: jax.Array, s2: jax.Array, count: int,
+                        p: Dict[str, jax.Array], eps: float = 1e-5
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """bn_affine_chw from precomputed per-channel fp32 sums (s1 = sum x,
+    s2 = sum x^2 over B, H, W; count = B*H*W). Lets a concat consumer's
+    BN statistics be assembled from per-branch reductions that XLA fuses
+    into each branch's producer — instead of re-reading the materialized
+    full-resolution concat from HBM (profiled ~0.8 ms/step across the
+    post_bn sites at the flagship workload)."""
+    mean = s1 / count
+    ex2 = s2 / count
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    shift = p["bias"].astype(jnp.float32) - mean * inv
+    return inv, shift
+
+
+def _channel_sums(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-channel fp32 (sum, sum-of-squares) over B, H, W of [B,C,H,W]."""
+    x32 = x.astype(jnp.float32)
+    return jnp.sum(x32, axis=(0, 2, 3)), jnp.sum(jnp.square(x32),
+                                                 axis=(0, 2, 3))
+
+
 def bn_affine_chw(x: jax.Array, p: Dict[str, jax.Array],
                   eps: float = 1e-5) -> Tuple[jax.Array, jax.Array]:
     """Train-mode BN as per-channel (scale, shift) fp32 vectors for
@@ -438,7 +480,8 @@ def _skip_apply_chw_fused(params: Dict[str, Any], cfg: SkipConfig,
 
     Requires act_fun LeakyReLU/none and downsample_mode 'stride'
     (callers gate)."""
-    from splice_tpu.ops.conv_pallas import (pallas_conv_bn_act_chw,
+    from splice_tpu.ops.conv_pallas import (SAME_BORDER_KERNELS,
+                                            pallas_conv_bn_act_chw,
                                             pallas_conv_chw)
 
     negslope = {"LeakyReLU": 0.2, "none": 1.0}[cfg.act_fun]
@@ -481,6 +524,24 @@ def _skip_apply_chw_fused(params: Dict[str, Any], cfg: SkipConfig,
         sc, sh = bn_affine_chw(raw, bn_p)
         return (raw, sc, sh)
 
+    def pend_conv(src, p, stride, bn_p):
+        """conv followed by a pending BN whose statistics come straight
+        from the conv kernel (computed on the output tile in VMEM, see
+        conv_pallas want_stats) when the site routes to the fused SAME
+        kernel — the XLA reduction otherwise re-reads the full-resolution
+        output from HBM just to take its mean/var."""
+        if (isinstance(src, tuple) and stride == 1
+                and p["kernel"].shape[0] > 1 and cfg.pad != "reflection"
+                and SAME_BORDER_KERNELS and fuse_worthwhile(src[0], stride)):
+            raw0, sc0, sh0 = src
+            out, s1, s2 = pallas_conv_bn_act_chw(
+                raw0, p, sc0, sh0, stride, cfg.pad, negslope,
+                want_stats=True)
+            n = out.shape[0] * out.shape[2] * out.shape[3]
+            sc, sh = bn_affine_from_sums(s1, s2, n, bn_p)
+            return (out, sc, sh)
+        return pend(conv_from(src, p, stride), bn_p)
+
     x = jnp.transpose(x_nhwc, (0, 3, 1, 2))
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -494,13 +555,10 @@ def _skip_apply_chw_fused(params: Dict[str, Any], cfg: SkipConfig,
             s_raw = conv_from(xin, sp["skip_conv"], 1)
             branches.append(materialize(pend(s_raw, sp["skip_bn"])))
         d1 = pend(conv_from(xin, sp["down_conv1"], 2), sp["down_bn1"])
-        d2 = pend(conv_from(d1, sp["down_conv2"], 1), sp["down_bn2"])
+        d2 = pend_conv(d1, sp["down_conv2"], 1, sp["down_bn2"])
         inner = materialize(scale_fn(i + 1, d2)) if i < n - 1 \
             else materialize(d2)
-        b, c, h, w = inner.shape
-        method = {"bilinear": "bilinear", "nearest": "nearest"}[
-            cfg.upsample_mode]
-        u = jax.image.resize(inner, (b, c, 2 * h, 2 * w), method=method)
+        u = upsample2x_chw(inner, cfg.upsample_mode)
         branches.append(u)
         th = min(t.shape[2] for t in branches)
         tw = min(t.shape[3] for t in branches)
@@ -509,16 +567,33 @@ def _skip_apply_chw_fused(params: Dict[str, Any], cfg: SkipConfig,
                       + tw] for t in branches]
         y = jnp.concatenate(branches, axis=1)
         # post_bn (reference skip.py:56) has NO activation: affine-only
-        # prologue (negslope 1.0) into the up conv.
-        pb_sc, pb_sh = bn_affine_chw(y, sp["post_bn"])
+        # prologue (negslope 1.0) into the up conv. Statistics are
+        # assembled from per-branch sums (fused by XLA into each branch's
+        # producer) so the materialized concat is not re-read from HBM.
+        b0 = branches[0]
+        count = b0.shape[0] * b0.shape[2] * b0.shape[3]
+        sums = [_channel_sums(t) for t in branches]
+        pb_sc, pb_sh = bn_affine_from_sums(
+            jnp.concatenate([s[0] for s in sums]),
+            jnp.concatenate([s[1] for s in sums]), count, sp["post_bn"])
         if fuse_worthwhile(y, 1):
-            y1 = pallas_conv_bn_act_chw(y, sp["up_conv"], pb_sc, pb_sh, 1,
-                                        cfg.pad, 1.0)
+            ksize = sp["up_conv"]["kernel"].shape[0]
+            if (ksize > 1 and cfg.pad != "reflection"
+                    and SAME_BORDER_KERNELS):
+                y1, s1, s2 = pallas_conv_bn_act_chw(
+                    y, sp["up_conv"], pb_sc, pb_sh, 1, cfg.pad, 1.0,
+                    want_stats=True)
+                cnt = y1.shape[0] * y1.shape[2] * y1.shape[3]
+                y1p = (y1, *bn_affine_from_sums(s1, s2, cnt, sp["up_bn"]))
+            else:
+                y1 = pallas_conv_bn_act_chw(y, sp["up_conv"], pb_sc,
+                                            pb_sh, 1, cfg.pad, 1.0)
+                y1p = pend(y1, sp["up_bn"])
         else:
             ym = y * pb_sc.astype(y.dtype)[:, None, None] \
                 + pb_sh.astype(y.dtype)[:, None, None]
             y1 = conv_plain(ym, sp["up_conv"], 1)
-        y1p = pend(y1, sp["up_bn"])
+            y1p = pend(y1, sp["up_bn"])
         if not cfg.need1x1_up:
             return y1p
         y2 = conv_from(y1p, sp["up1x1_conv"], 1)
@@ -599,10 +674,7 @@ def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
         d = conv_fn(d, sp["down_conv2"], 1, cfg.pad)
         d = act(batch_norm_chw(d, sp["down_bn2"]), cfg.act_fun)
         inner = scale_fn(i + 1, d) if i < n - 1 else d
-        b, c, h, w = inner.shape
-        method = {"bilinear": "bilinear", "nearest": "nearest"}[
-            cfg.upsample_mode]
-        u = jax.image.resize(inner, (b, c, 2 * h, 2 * w), method=method)
+        u = upsample2x_chw(inner, cfg.upsample_mode)
         branches.append(u)
         th = min(t.shape[2] for t in branches)
         tw = min(t.shape[3] for t in branches)

@@ -197,10 +197,13 @@ _HI = jax.lax.Precision.HIGHEST
 # machinery it drives is unit-tested either way (test_attention.py::
 # TestPaddedTokenStream).
 PAD_TOKEN_STREAM = False
-# Save LayerNorm VJP intermediates (centered input + inverse std) under
-# remat instead of re-running the LN reductions in the backward; see
-# _layer_norm. Ablation knob, measured e2e (PERFORMANCE.md).
-SAVE_LN_STATS = True
+# Save LayerNorm VJP intermediates under remat instead of re-running the
+# LN reductions in the backward; see _layer_norm. Modes: False (full LN
+# recompute), "inv" ([B,N,1] inverse std only), "mean" ([B,N,1] mean +
+# inv — all reductions saved, centered input rebuilt elementwise), True
+# (centered input + inv: the f32 [B,N,D] saves cost ~230 MB/step of
+# remat-stack traffic). Ablation knob, measured e2e (PERFORMANCE.md).
+SAVE_LN_STATS = "mean"
 
 
 def _dense(x, p):
@@ -274,11 +277,19 @@ def _layer_norm(x, p, eps, save_stats: bool = False):
     training shapes (add/reduce fusions in the round-3 trace)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
+    if save_stats == "mean":
+        # Saving the [B,N,1] mean (not the [B,N,D] centered input) lets
+        # the backward rebuild `sub` with ONE elementwise subtract from
+        # the policy-saved block input — no reduction re-run AND ~768x
+        # less remat-stack traffic than naming `sub` itself (the two f32
+        # sub stacks were ~230 MB/step of HBM writes+reads in the round-4
+        # trace).
+        mean = ad_checkpoint.checkpoint_name(mean, "vit_ln_mean")
     sub = x32 - mean
     var = jnp.mean(jnp.square(sub), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     if save_stats:
-        if save_stats != "inv":
+        if save_stats not in ("inv", "mean"):
             sub = ad_checkpoint.checkpoint_name(sub, "vit_ln_sub")
         inv = ad_checkpoint.checkpoint_name(inv, "vit_ln_inv")
     y = sub * inv
@@ -536,6 +547,12 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
             # backward's var reduction + rsqrt recompute, keeps the cheap
             # centered-input recompute.
             names += ("vit_ln_inv",)
+        elif SAVE_LN_STATS == "mean":
+            # [B,N,1] mean + inverse std: every LN reduction is saved and
+            # the centered input is rebuilt with one elementwise subtract
+            # — the reduction-free backward of the `sub` mode at ~1/768th
+            # of its remat-stack traffic.
+            names += ("vit_ln_mean", "vit_ln_inv")
         elif SAVE_LN_STATS:
             # ~19 MB/block extra residuals (fp32 centered input x2 +
             # inv-std) buy back the backward's LN re-reductions.

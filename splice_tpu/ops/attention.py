@@ -339,6 +339,25 @@ _pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 # a [B, N, D] array the proj dense consumes directly. The only data
 # movement left is ONE token-axis pad of qkv to a sublane multiple.
 
+# Run the head-pair kernels' K=dh contractions (fwd logits, bwd logits,
+# bwd dp) as K=128 dots against the full two-head lane chunk, zeroing the
+# OTHER head's 64 lanes of the k/v operand so cross-head terms vanish.
+# Probe (scripts/mxu_k_probe.py, v5e): a K=64 dot is overhead-bound and
+# costs ~1.4x a K=128 dot in ABSOLUTE time, so two masked K=128 dots beat
+# two K=64 dots by ~25% despite doubling the streamed MACs. The W=64
+# output dots (PV, dq, dk, dv) measured efficient and stay per-head.
+# Ablation knob, measured e2e (PERFORMANCE.md).
+PACK_QK_K128 = True
+
+
+def _lane_half_masks(dh: int, dtype):
+    """0/1 [1, 128] masks selecting each dh-lane head of a two-head
+    chunk (dh=64 -> lanes [0,64) and [64,128))."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    return [jnp.logical_and(lane >= h * dh, lane < (h + 1) * dh)
+            .astype(dtype) for h in range(128 // dh)]
+
+
 def _attn_qkv_kernel(q_ref, k_ref, v_ref, *refs, scale: float, dh: int):
     """One (batch, head-pair, q-block) grid cell.
 
@@ -347,14 +366,26 @@ def _attn_qkv_kernel(q_ref, k_ref, v_ref, *refs, scale: float, dh: int):
     its own softmax (same math as _attn_kernel) and lands in its own
     output lane half."""
     bias_ref, o_ref = (refs if len(refs) == 2 else (None, refs[0]))
+    pack = PACK_QK_K128 and 128 % dh == 0 and dh < 128
+    if pack:
+        q2 = q_ref[0]
+        k2 = k_ref[0]
+        masks = _lane_half_masks(dh, k2.dtype)
     outs = []
     for h in range(128 // dh):
-        q = q_ref[0][:, h * dh:(h + 1) * dh]
-        k = k_ref[0][:, h * dh:(h + 1) * dh]
         v = v_ref[0][:, h * dh:(h + 1) * dh]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale      # [BQ, N_pad]
+        if pack:
+            # K=128 dot vs the head-masked chunk: the other head's lanes
+            # of k are zero, so only this head's q lanes contribute.
+            logits = jax.lax.dot_general(
+                q2, k2 * masks[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [BQ, N_pad]
+        else:
+            q = q_ref[0][:, h * dh:(h + 1) * dh]
+            k = k_ref[0][:, h * dh:(h + 1) * dh]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [BQ, N_pad]
         if bias_ref is not None:
             logits = logits + bias_ref[...]
         m = jnp.max(logits, axis=-1, keepdims=True)
@@ -426,6 +457,13 @@ def _attn_qkv_bwd_kernel(q_ref, k_ref, v_ref, g_ref, *refs, scale: float,
         bias_ref = None
         dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
     i = pl.program_id(2)
+    pack = PACK_QK_K128 and 128 % dh == 0 and dh < 128
+    if pack:
+        q2 = q_ref[0]
+        k2 = k_ref[0]
+        v2 = v_ref[0]
+        g2 = g_ref[0]
+        masks = _lane_half_masks(dh, k2.dtype)
     dqs, dks, dvs = [], [], []
     for h in range(128 // dh):
         sl = slice(h * dh, (h + 1) * dh)
@@ -433,17 +471,30 @@ def _attn_qkv_bwd_kernel(q_ref, k_ref, v_ref, g_ref, *refs, scale: float,
         k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
         g = g_ref[0][:, sl]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+        if pack:
+            # K=128 dots vs head-masked chunks (see _attn_qkv_kernel):
+            # the two K=dh contractions of the backward — the logits
+            # recompute and dp — both ride the full two-head chunk.
+            logits = jax.lax.dot_general(
+                q2, k2 * masks[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        else:
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
         if bias_ref is not None:
             logits = logits + bias_ref[...]
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)           # fp32 [BQ, N]
-        dp = jax.lax.dot_general(
-            g, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if pack:
+            dp = jax.lax.dot_general(
+                g2, v2 * masks[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            dp = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         dl = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
         dl_c = dl.astype(q.dtype)
         dqs.append(jax.lax.dot_general(

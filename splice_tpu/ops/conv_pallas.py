@@ -30,6 +30,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Route stride-1 zero-pad convs through the SAME-border kernels (in-kernel
+# masked lane-rolls, no horizontal pre-pad) instead of the VALID kernels
+# on a 128-aligned pre-padded width. Ablation knob, measured e2e
+# (PERFORMANCE.md): the mask multiplies cost VPU time comparable to the
+# 12.5% lane saving at the flagship 896-canvas shapes.
+SAME_BORDER_KERNELS = True
+
 
 def _rows_per_tile(cin: int, cout: int, k: int, wp: int,
                    itemsize: int) -> int:
@@ -43,14 +50,18 @@ def _rows_per_tile(cin: int, cout: int, k: int, wp: int,
 
 
 def _roll_left2d(xs, dx: int):
-    """Lane-roll left by dx for a 2-D [rows, L] operand (axis 1)."""
+    """Lane-roll left by dx (dx may be negative = roll right) for a 2-D
+    [rows, L] operand (axis 1)."""
     L = xs.shape[1]
+    amt = (L - dx) % L
+    if amt == 0:
+        return xs
     if xs.dtype.itemsize == 4:
-        return pltpu.roll(xs, L - dx, 1)
+        return pltpu.roll(xs, amt, 1)
     if xs.shape[0] % 2 == 0:
         xi = pltpu.bitcast(xs, jnp.int32)
-        return pltpu.bitcast(pltpu.roll(xi, L - dx, 1), xs.dtype)
-    return pltpu.roll(xs.astype(jnp.float32), L - dx, 1).astype(xs.dtype)
+        return pltpu.bitcast(pltpu.roll(xi, amt, 1), xs.dtype)
+    return pltpu.roll(xs.astype(jnp.float32), amt, 1).astype(xs.dtype)
 
 
 def _flat_slab(x_part, halo_part, k: int, ht: int, wp: int,
@@ -82,7 +93,8 @@ def _flat_slab(x_part, halo_part, k: int, ht: int, wp: int,
     return flat
 
 
-def _flat_taps(flat, k: int, ht: int, wp: int):
+def _flat_taps(flat, k: int, ht: int, wp: int, off0: int = 0,
+               cmask_ref=None, mask_taps=None):
     """All k*k shifted tap operands as lane-views of a flattened slab.
 
     flat: [Cin, (ht+k-1)*Wp] from _flat_slab. The naive per-tap pipeline
@@ -99,8 +111,21 @@ def _flat_taps(flat, k: int, ht: int, wp: int):
     columns), same argument as the old per-tap roll.
 
     Returns taps[dy*k+dx] each [Cin, ht*Wp].
+
+    SAME mode (off0 = -(k-1)//2, cmask_ref set): tap dx uses lane offset
+    dx+off0 (negative = roll right), and each rolled slab is multiplied by
+    its precomputed 0/1 column mask row cmask_ref[dx] ([1, L], broadcast
+    over Cin) — zeroing (a) lanes the roll wrapped across a row boundary
+    and (b) lanes whose input column lies outside the valid width w0.
+    This replaces the horizontal zero-pre-pad entirely: a 896-wide image
+    stays at 896 lanes instead of padding 898 -> 1024 (12.5% of HBM
+    traffic and MXU time at every large U-Net site). mask_taps[dx] skips
+    the multiply where the mask is statically all-ones.
     """
-    rolled = [flat] + [_roll_left2d(flat, dx) for dx in range(1, k)]
+    rolled = [_roll_left2d(flat, dx + off0) for dx in range(k)]
+    if cmask_ref is not None:
+        rolled = [r * cmask_ref[dx:dx + 1, :] if mask_taps[dx] else r
+                  for dx, r in enumerate(rolled)]
     taps = []
     for dy in range(k):
         for dx in range(k):
@@ -120,7 +145,9 @@ def _halo(xp: jax.Array, ht: int, n_tiles: int, k: int) -> jax.Array:
 
 
 def _make_conv_kernel(k: int, ht: int, kpack: bool, has_pro: bool,
-                      negslope: float):
+                      negslope: float, off0: int = 0,
+                      mask_taps: Optional[Tuple[bool, ...]] = None,
+                      stats_ho: int = 0, stats_colmask: bool = False):
     """Forward conv kernel over one [1, Cin, ht, Wp] block.
 
     kpack: stack the k*k shifted taps into ONE [k*k*Cin, ht*Wp] operand so
@@ -128,21 +155,46 @@ def _make_conv_kernel(k: int, ht: int, kpack: bool, has_pro: bool,
     instead of k*k skinny K=Cin dots (the systolic array runs at K/128
     utilization — 9 taps of K=16 waste 7/8 of every pass).
     has_pro: two extra [Cin, 1] fp32 refs (scale, shift) — deferred-BN
-    affine + LeakyReLU(negslope) applied to the slab in VMEM."""
+    affine + LeakyReLU(negslope) applied to the slab in VMEM.
+    off0/mask_taps: SAME-mode tap offsets + column masks (see _flat_taps);
+    mask_taps non-None adds a [k, L] mask ref after the weight ref.
+    stats_ho > 0: additionally emit per-channel (sum, sum-of-squares) of
+    the CAST output over the valid region — the consumer BatchNorm's
+    statistics — accumulated across grid cells into a second [2, Cout]
+    f32 output. The stats read the output while it is still in VMEM,
+    replacing a full HBM re-read by the XLA reduction (profiled
+    ~1.5 ms/step across the pend() sites at the flagship workload).
+    stats_ho is the valid output row count (garbage tile-fill rows are
+    masked dynamically). stats_colmask: when w0 < Wp, a [1, ht*Wp] 0/1
+    ref masking output COLUMNS >= w0 out of the stats — those columns
+    are NOT all zero (edge taps legitimately reach input col w0-1) and
+    are normally sliced off by the caller."""
+    has_cmask = mask_taps is not None and any(mask_taps)
 
     def kernel(*refs):
+        refs = list(refs)
+        x_ref = refs.pop(0)
+        halo_ref = refs.pop(0)
+        w_ref = refs.pop(0)
+        cmask_ref = refs.pop(0) if has_cmask else None
         if has_pro:
-            x_ref, halo_ref, w_ref, s_ref, t_ref, o_ref, acc_ref = refs
+            s_ref, t_ref = refs.pop(0), refs.pop(0)
             pro = (s_ref, t_ref, negslope)
         else:
-            x_ref, halo_ref, w_ref, o_ref, acc_ref = refs
             pro = None
+        scol_ref = None
+        if stats_ho:
+            if stats_colmask:
+                scol_ref = refs.pop(0)
+            o_ref, st_ref, acc_ref, stacc_ref = refs
+        else:
+            o_ref, acc_ref = refs
         cin = x_ref.shape[1]
         cout = o_ref.shape[1]
         wp = x_ref.shape[3]
         flat = _flat_slab(x_ref[0], halo_ref[0, 0] if k > 1 else None, k,
                           ht, wp, pro)
-        taps = _flat_taps(flat, k, ht, wp)
+        taps = _flat_taps(flat, k, ht, wp, off0, cmask_ref, mask_taps)
         if kpack:
             # [k*k, Cin, ht*Wp] -> [k*k*Cin, ht*Wp]: leading-dim merge,
             # no relayout (the minor ht*Wp dim is untouched).
@@ -156,23 +208,77 @@ def _make_conv_kernel(k: int, ht: int, kpack: bool, has_pro: bool,
                 acc_ref[:] += jax.lax.dot_general(
                     w_ref[t], taps[t], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [Cout, ht*Wp]
-        o_ref[0] = acc_ref[:].reshape(cout, ht, wp).astype(o_ref.dtype)
+        o_cast = acc_ref[:].reshape(cout, ht, wp).astype(o_ref.dtype)
+        o_ref[0] = o_cast
+        if stats_ho:
+            b = pl.program_id(0)
+            i = pl.program_id(1)
+
+            @pl.when(jnp.logical_and(b == 0, i == 0))
+            def _():
+                stacc_ref[:] = jnp.zeros_like(stacc_ref)
+
+            # Stats of the CAST value (matching what the XLA reduction
+            # would read back), valid rows only.
+            r_valid = jnp.clip(stats_ho - i * ht, 0, ht)
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, ht * wp), 1)
+            keep = (row < r_valid * wp).astype(jnp.float32)
+            if scol_ref is not None:
+                keep = keep * scol_ref[...]
+            of = o_cast.reshape(cout, ht * wp).astype(jnp.float32) * keep
+            stacc_ref[0, :] += jnp.sum(of, axis=1)
+            stacc_ref[1, :] += jnp.sum(of * of, axis=1)
+            last = jnp.logical_and(b == pl.num_programs(0) - 1,
+                                   i == pl.num_programs(1) - 1)
+
+            @pl.when(last)
+            def _():
+                st_ref[:] = stacc_ref[:]
 
     return kernel
+
+
+def _same_col_masks(k: int, wp: int, w0: int, L: int, dtype):
+    """[k, L] 0/1 lane masks for SAME mode + per-tap needed flags.
+
+    Rolled-slab lane c of tap dx (offset o = dx-(k-1)//2) holds input
+    column (c % wp) + o; the mask is 1 iff that column is inside the
+    valid width [0, w0) — zeroing both the roll's row-boundary wrap and
+    any lane-alignment padding columns (which, under the fused prologue,
+    are NOT zero after normalize+activate)."""
+    p = (k - 1) // 2
+    col = jnp.arange(L, dtype=jnp.int32) % wp
+    rows, needed = [], []
+    for dx in range(k):
+        o = dx - p
+        needed.append(o != 0 or w0 < wp)
+        valid = jnp.logical_and(col + o >= 0, col + o < w0)
+        rows.append(valid.astype(dtype))
+    if not any(needed):
+        return None, tuple(needed)
+    return jnp.stack(rows, 0), tuple(needed)
 
 
 def _conv_fwd_impl(xp: jax.Array, w: jax.Array, k: int,
                    scale: Optional[jax.Array] = None,
                    shift: Optional[jax.Array] = None,
-                   negslope: float = 0.2) -> jax.Array:
+                   negslope: float = 0.2, same: bool = False,
+                   want_stats: bool = False):
     """xp: [B, Cin, Hp, Wp] pre-padded; w: [k, k, Cin, Cout].
     Returns [B, Cout, Hp-k+1, Wp]; only the first Wp-k+1 columns are valid
     (caller slices). scale/shift [Cin]: optional fused input prologue
     z = leaky_{negslope}(x*scale + shift) (deferred BatchNorm apply).
 
+    same=True: xp is row-padded ONLY ((k-1)//2 rows top+bottom); all Wp
+    input columns are valid and the output has zero-border SAME width Wp
+    (caller slices lane alignment off). Horizontal borders come from
+    in-kernel masked lane-rolls (_same_col_masks) instead of a physical
+    pre-pad — a 896-wide image would otherwise pad 898 -> 1024 lanes.
+
     Prologue + lane/row zero-padding is safe: padded columns are never
-    read by a valid output (taps reach at most col Wp0-1), and padded
-    rows only feed outputs >= ho, which are sliced off."""
+    read by a valid output (VALID: taps reach at most col Wp0-1; SAME:
+    masked in-kernel), and padded rows only feed outputs >= ho, which are
+    sliced off."""
     B, cin, hp, wp0 = xp.shape
     cout = w.shape[-1]
     ho = hp - k + 1
@@ -207,7 +313,18 @@ def _conv_fwd_impl(xp: jax.Array, w: jax.Array, k: int,
         wspec = pl.BlockSpec(wk.shape, lambda b, i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     has_pro = scale is not None
-    kernel = _make_conv_kernel(k, ht, kpack, has_pro, negslope)
+    off0, cmask, mask_taps = 0, None, None
+    if same:
+        off0 = -(k - 1) // 2
+        L = (ht + k - 1) * wp
+        cmask, mask_taps = _same_col_masks(k, wp, wp0, L, xp.dtype)
+    if want_stats:
+        assert same, "in-kernel stats require the SAME path (masked cols)"
+    stats_colmask = want_stats and wp0 < wp
+    kernel = _make_conv_kernel(k, ht, kpack, has_pro, negslope, off0,
+                               mask_taps if cmask is not None else None,
+                               stats_ho=ho if want_stats else 0,
+                               stats_colmask=stats_colmask)
     in_specs = [
         pl.BlockSpec((1, cin, ht, wp), lambda b, i: (b, 0, i, 0),
                      memory_space=pltpu.VMEM),
@@ -217,22 +334,41 @@ def _conv_fwd_impl(xp: jax.Array, w: jax.Array, k: int,
         wspec,
     ]
     args = [xp[:, :, :n_tiles * ht, :], halo, wk]
+    if cmask is not None:
+        in_specs.append(pl.BlockSpec(cmask.shape, lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(cmask)
     if has_pro:
         vec = pl.BlockSpec((cin, 1), lambda b, i: (0, 0),
                            memory_space=pltpu.VMEM)
         in_specs += [vec, vec]
         args += [scale.reshape(cin, 1).astype(jnp.float32),
                  shift.reshape(cin, 1).astype(jnp.float32)]
+    if stats_colmask:
+        colv = (jnp.arange(ht * wp, dtype=jnp.int32) % wp
+                < wp0).astype(jnp.float32)[None, :]
+        in_specs.append(pl.BlockSpec((1, ht * wp), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(colv)
     interpret = jax.default_backend() == "cpu"
+    out_shape = jax.ShapeDtypeStruct((B, cout, n_tiles * ht, wp), xp.dtype)
+    out_specs = pl.BlockSpec((1, cout, ht, wp), lambda b, i: (b, 0, i, 0),
+                             memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((cout, ht * wp), jnp.float32)]
+    if want_stats:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((2, cout), jnp.float32))
+        out_specs = (out_specs,
+                     pl.BlockSpec((2, cout), lambda b, i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((2, cout), jnp.float32))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, cout, n_tiles * ht, wp),
-                                       xp.dtype),
+        out_shape=out_shape,
         grid=(B, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, cout, ht, wp), lambda b, i: (b, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((cout, ht * wp), jnp.float32)],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -242,24 +378,36 @@ def _conv_fwd_impl(xp: jax.Array, w: jax.Array, k: int,
             transcendentals=0),
         interpret=interpret,
     )(*args)
+    if want_stats:
+        out, st = out
+        return out[:, :, :ho, :], st[0], st[1]
     return out[:, :, :ho, :]
 
 
-def _make_dw_kernel(k: int, ht: int, has_pro: bool, negslope: float):
+def _make_dw_kernel(k: int, ht: int, has_pro: bool, negslope: float,
+                    off0: int = 0,
+                    mask_taps: Optional[Tuple[bool, ...]] = None):
     """Accumulate dw[k*k*Cin, Cout] over grid tiles: ONE tap-packed
     [k*k*Cin, ht*Wp] x [ht*Wp, Cout] dot per tile instead of k*k skinny
     M=Cin dots — ceil(k*k*Cin/128) MXU output tiles stream the pixel
     contraction once, vs k*k separate streams. has_pro: the fused-conv
     backward recomputes z = leaky(x*scale+shift) on the slab in VMEM (z
-    is never materialized in HBM)."""
+    is never materialized in HBM). off0/mask_taps: SAME-mode tap offsets
+    + column masks (see _flat_taps)."""
+    has_cmask = mask_taps is not None and any(mask_taps)
 
     def kernel(*refs):
+        refs = list(refs)
+        x_ref = refs.pop(0)
+        halo_ref = refs.pop(0)
+        g_ref = refs.pop(0)
+        cmask_ref = refs.pop(0) if has_cmask else None
         if has_pro:
-            x_ref, halo_ref, g_ref, s_ref, t_ref, dw_ref, acc_ref = refs
+            s_ref, t_ref = refs.pop(0), refs.pop(0)
             pro = (s_ref, t_ref, negslope)
         else:
-            x_ref, halo_ref, g_ref, dw_ref, acc_ref = refs
             pro = None
+        dw_ref, acc_ref = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         cin = x_ref.shape[1]
@@ -275,7 +423,7 @@ def _make_dw_kernel(k: int, ht: int, has_pro: bool, negslope: float):
         # g is zero-padded to [n_tiles*ht, wp] by _dw_impl, so invalid
         # rows/columns already contribute nothing to the dot.
         g2 = g_ref[0].reshape(cout, ht * wp)
-        taps = _flat_taps(flat, k, ht, wp)
+        taps = _flat_taps(flat, k, ht, wp, off0, cmask_ref, mask_taps)
         big = jnp.stack(taps, axis=0).reshape(k * k * cin, ht * wp)
         acc_ref[:] += jax.lax.dot_general(
             big, g2, (((1,), (1,)), ((), ())),
@@ -293,10 +441,11 @@ def _make_dw_kernel(k: int, ht: int, has_pro: bool, negslope: float):
 def _dw_impl(xp: jax.Array, g: jax.Array, k: int,
              scale: Optional[jax.Array] = None,
              shift: Optional[jax.Array] = None,
-             negslope: float = 0.2) -> jax.Array:
+             negslope: float = 0.2, same: bool = False) -> jax.Array:
     """dw for the VALID conv on pre-padded xp. g: [B, Cout, Ho, Wo];
     returns [k, k, Cin, Cout] fp32. scale/shift: fused input prologue
-    (see _conv_fwd_impl)."""
+    (see _conv_fwd_impl). same=True: xp is row-padded only; horizontal
+    borders come from the in-kernel masked rolls (see _conv_fwd_impl)."""
     B, cin, hp, wp0 = xp.shape
     cout = g.shape[1]
     ho = hp - k + 1
@@ -312,7 +461,13 @@ def _dw_impl(xp: jax.Array, g: jax.Array, k: int,
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, n_tiles * ht - g.shape[2]),
                      (0, wp - g.shape[3])))
     has_pro = scale is not None
-    kernel = _make_dw_kernel(k, ht, has_pro, negslope)
+    off0, cmask, mask_taps = 0, None, None
+    if same:
+        off0 = -(k - 1) // 2
+        L = (ht + k - 1) * wp
+        cmask, mask_taps = _same_col_masks(k, wp, wp0, L, xp.dtype)
+    kernel = _make_dw_kernel(k, ht, has_pro, negslope, off0,
+                             mask_taps if cmask is not None else None)
     in_specs = [
         pl.BlockSpec((1, cin, ht, wp), lambda b, i: (b, 0, i, 0),
                      memory_space=pltpu.VMEM),
@@ -323,6 +478,10 @@ def _dw_impl(xp: jax.Array, g: jax.Array, k: int,
                      memory_space=pltpu.VMEM),
     ]
     args = [xp[:, :, :n_tiles * ht, :], halo, gp]
+    if cmask is not None:
+        in_specs.append(pl.BlockSpec(cmask.shape, lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(cmask)
     if has_pro:
         vec = pl.BlockSpec((cin, 1), lambda b, i: (0, 0),
                            memory_space=pltpu.VMEM)
@@ -373,6 +532,122 @@ def _conv_bwd(k, res, g):
 
 
 conv_valid_chw.defvjp(_conv_fwd, _conv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv_same_chw(xp: jax.Array, w: jax.Array, k: int) -> jax.Array:
+    """SAME zero-border k x k stride-1 conv on ROW-pre-padded CHW input
+    via the Pallas kernel. xp: [B, Cin, H + k - 1, W] (rows padded by
+    (k-1)//2 top+bottom, columns NOT padded); w: [k, k, Cin, Cout] ->
+    [B, Cout, H, W]. Horizontal zero borders are produced in-kernel by
+    masked lane-rolls, so a lane-aligned W (e.g. the 896-wide crop
+    canvas) never pays the 898 -> 1024 pad-to-128 blowup of the VALID
+    path."""
+    out = _conv_fwd_impl(xp, w.astype(xp.dtype), k, same=True)
+    return out[:, :, :, :xp.shape[3]]
+
+
+def _conv_same_fwd(xp, w, k):
+    return conv_same_chw(xp, w, k), (xp, w)
+
+
+def _conv_same_bwd(k, res, g):
+    xp, w = res
+    # dx: FULL correlation vertically (the cotangent covers xp's pad
+    # rows too — the caller's row-pad transpose slices them), SAME
+    # horizontally.
+    w_flip = jnp.flip(jnp.flip(w, 0), 1).transpose(0, 1, 3, 2)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (k - 1, k - 1), (0, 0)))
+    dx = _conv_fwd_impl(gp.astype(xp.dtype), w_flip.astype(xp.dtype), k,
+                        same=True)
+    dx = dx[:, :, :, :xp.shape[3]]
+    dw = _dw_impl(xp, g.astype(xp.dtype), k, same=True).astype(w.dtype)
+    return dx.astype(xp.dtype), dw
+
+
+conv_same_chw.defvjp(_conv_same_fwd, _conv_same_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv_same_pro_chw(xp: jax.Array, w: jax.Array, scale: jax.Array,
+                      shift: jax.Array, k: int,
+                      negslope: float) -> jax.Array:
+    """SAME-border variant of conv_pro_valid_chw (deferred-BN prologue
+    fused into the conv's input read). xp: [B, Cin, H + k - 1, W],
+    row-padded with the prologue's zero pre-image v = -shift/scale on
+    the (k-1)//2 border rows (so the in-kernel prologue maps them to
+    exactly 0); horizontal zero borders of the NORMALIZED tensor come
+    from the in-kernel column masks, which apply AFTER the prologue —
+    no v-columns needed."""
+    out = _conv_fwd_impl(xp, w.astype(xp.dtype), k, scale, shift,
+                         negslope, same=True)
+    return out[:, :, :, :xp.shape[3]]
+
+
+def _convp_same_fwd(xp, w, scale, shift, k, negslope):
+    return (conv_same_pro_chw(xp, w, scale, shift, k, negslope),
+            (xp, w, scale, shift))
+
+
+def _convp_same_bwd(k, negslope, res, g):
+    xp, w, scale, shift = res
+    w_flip = jnp.flip(jnp.flip(w, 0), 1).transpose(0, 1, 3, 2)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (k - 1, k - 1), (0, 0)))
+    dz = _conv_fwd_impl(gp.astype(xp.dtype), w_flip.astype(xp.dtype), k,
+                        same=True)
+    dz = dz[:, :, :, :xp.shape[3]].astype(jnp.float32)
+    sc = scale.astype(jnp.float32)[None, :, None, None]
+    sh = shift.astype(jnp.float32)[None, :, None, None]
+    x32 = xp.astype(jnp.float32)
+    if negslope != 1.0:
+        u = x32 * sc + sh
+        du = dz * jnp.where(u >= 0, 1.0, negslope)
+    else:
+        du = dz
+    dxp = (du * sc).astype(xp.dtype)
+    dscale = jnp.sum(du * x32, axis=(0, 2, 3)).astype(scale.dtype)
+    dshift = jnp.sum(du, axis=(0, 2, 3)).astype(shift.dtype)
+    dw = _dw_impl(xp, g.astype(xp.dtype), k, scale, shift, negslope,
+                  same=True).astype(w.dtype)
+    return dxp, dw, dscale, dshift
+
+
+conv_same_pro_chw.defvjp(_convp_same_fwd, _convp_same_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv_same_pro_stats_chw(xp: jax.Array, w: jax.Array, scale: jax.Array,
+                            shift: jax.Array, k: int, negslope: float):
+    """conv_same_pro_chw that ALSO returns the per-channel fp32
+    (sum, sum-of-squares) of its output over the valid region — the
+    consumer BatchNorm's statistics, computed while the output tile is
+    still in VMEM instead of re-read from HBM by an XLA reduction.
+    Returns (out [B,Cout,H,W], s1 [Cout], s2 [Cout])."""
+    out, s1, s2 = _conv_fwd_impl(xp, w.astype(xp.dtype), k, scale, shift,
+                                 negslope, same=True, want_stats=True)
+    return out[:, :, :, :xp.shape[3]], s1, s2
+
+
+def _convp_same_stats_fwd(xp, w, scale, shift, k, negslope):
+    out, s1, s2 = conv_same_pro_stats_chw(xp, w, scale, shift, k, negslope)
+    return (out, s1, s2), (xp, w, scale, shift, out)
+
+
+def _convp_same_stats_bwd(k, negslope, res, cts):
+    """The stats are (mathematically) plain reductions of `out`:
+    d s1/d out = 1, d s2/d out = 2*out. Fold their cotangents into the
+    output cotangent, then delegate to the stats-free backward."""
+    xp, w, scale, shift, out = res
+    g_out, g_s1, g_s2 = cts
+    g = (g_out.astype(jnp.float32)
+         + g_s1[None, :, None, None]
+         + 2.0 * out.astype(jnp.float32) * g_s2[None, :, None, None]
+         ).astype(g_out.dtype)
+    return _convp_same_bwd(k, negslope, (xp, w, scale, shift), g)
+
+
+conv_same_pro_stats_chw.defvjp(_convp_same_stats_fwd,
+                               _convp_same_stats_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -429,16 +704,52 @@ conv_pro_valid_chw.defvjp(_convp_fwd, _convp_bwd)
 def pallas_conv_bn_act_chw(x: jax.Array, p: dict, scale: jax.Array,
                            shift: jax.Array, stride: int = 1,
                            pad: str = "zero",
-                           negslope: float = 0.2) -> jax.Array:
+                           negslope: float = 0.2,
+                           want_stats: bool = False):
     """Fused BN-apply + activation + conv: conv(leaky(x*scale+shift)).
 
     Same padding/stride semantics as pallas_conv_chw. For stride 2 the
     space-to-depth phase decomposition applies; the per-channel prologue
     commutes with the phase permutation, so scale/shift are tiled 4x to
-    match the phase-major channel layout."""
+    match the phase-major channel layout.
+
+    want_stats: additionally return the output's per-channel fp32
+    (sum, sum-of-squares) over B, H, W — the consumer BatchNorm's
+    statistics. On the SAME kernel path they are computed in-kernel while
+    the output tile is in VMEM (no HBM re-read); elsewhere by an XLA
+    reduction. Returns (out, s1, s2) instead of out."""
     w = p["kernel"]
     k, _, cin, cout = w.shape
     to_pad = (k - 1) // 2
+    if (to_pad > 0 and pad != "reflection" and stride == 1
+            and SAME_BORDER_KERNELS):
+        # SAME path: rows only carry a physical border (the prologue's
+        # zero pre-image v = -shift/scale, so the in-VMEM prologue maps
+        # them to exactly 0); horizontal zero borders of the normalized
+        # tensor come from the kernel's post-prologue column masks — no
+        # width pre-pad, no 898 -> 1024 lane blowup.
+        s = scale.astype(jnp.float32)
+        v = -shift.astype(jnp.float32) / jnp.where(
+            jnp.abs(s) < 1e-12, 1e-12, s)
+        vrows = jnp.broadcast_to(
+            v.astype(x.dtype)[None, :, None, None],
+            (x.shape[0], cin, to_pad, x.shape[3]))
+        xr = jnp.concatenate([vrows, x, vrows], axis=2)
+        if want_stats:
+            out, s1, s2 = conv_same_pro_stats_chw(xr, w, scale, shift, k,
+                                                  negslope)
+            if "bias" in p:
+                b32 = p["bias"].astype(jnp.float32)
+                n = out.shape[0] * out.shape[2] * out.shape[3]
+                # stats of (out + b): algebraic shift, no extra pass
+                s2 = s2 + 2.0 * b32 * s1 + n * jnp.square(b32)
+                s1 = s1 + n * b32
+                out = out + p["bias"].astype(out.dtype)[:, None, None]
+            return out, s1, s2
+        out = conv_same_pro_chw(xr, w, scale, shift, k, negslope)
+        if "bias" in p:
+            out = out + p["bias"].astype(out.dtype)[:, None, None]
+        return out
     if to_pad > 0:
         if pad == "reflection":
             # reflect-pad commutes with the per-channel prologue.
@@ -486,6 +797,10 @@ def pallas_conv_bn_act_chw(x: jax.Array, p: dict, scale: jax.Array,
         raise NotImplementedError(stride)
     if "bias" in p:
         out = out + p["bias"].astype(out.dtype)[:, None, None]
+    if want_stats:
+        o32 = out.astype(jnp.float32)
+        return (out, jnp.sum(o32, axis=(0, 2, 3)),
+                jnp.sum(jnp.square(o32), axis=(0, 2, 3)))
     return out
 
 
@@ -500,6 +815,15 @@ def pallas_conv_chw(x: jax.Array, p: dict, stride: int = 1,
     w = p["kernel"]
     k, _, cin, cout = w.shape
     to_pad = (k - 1) // 2
+    if (to_pad > 0 and pad != "reflection" and stride == 1
+            and SAME_BORDER_KERNELS):
+        # SAME path: physical pad on rows only; horizontal zero borders
+        # come from the kernel's masked lane-rolls (no width pre-pad).
+        x = jnp.pad(x, ((0, 0), (0, 0), (to_pad, to_pad), (0, 0)))
+        out = conv_same_chw(x, w, k)
+        if "bias" in p:
+            out = out + p["bias"].astype(out.dtype)[:, None, None]
+        return out
     if to_pad > 0:
         mode = "reflect" if pad == "reflection" else "constant"
         x = jnp.pad(x, ((0, 0), (0, 0), (to_pad, to_pad), (to_pad, to_pad)),

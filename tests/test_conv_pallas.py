@@ -65,6 +65,66 @@ class TestForward:
                                    atol=1e-4, rtol=1e-4)
 
 
+class TestSameLaneExactWidth:
+    """Width == a multiple of 128: the SAME path's masked lane-rolls are
+    the ONLY thing standing between the roll wraparound and the output
+    borders (no padding columns absorb it). Regression for the in-kernel
+    zero-border machinery (ops/conv_pallas.py _same_col_masks)."""
+
+    @pytest.mark.parametrize("w0", [128, 256])
+    def test_forward_and_grads(self, w0):
+        rng = np.random.default_rng(40 + w0)
+        cin, cout = 4, 6
+        x = jnp.asarray(rng.standard_normal((1, 12, w0, cin)), jnp.float32)
+        p = _params(rng, 3, cin, cout)
+        xc = jnp.transpose(x, (0, 3, 1, 2))
+        ref = unet.conv2d(x, p, 1)
+        out = jnp.transpose(cp.pallas_conv_chw(xc, p, 1), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+        gp_ref, gx_ref = jax.grad(
+            lambda p, x: jnp.sum(unet.conv2d(x, p, 1) ** 2),
+            argnums=(0, 1))(p, x)
+        gp_pal, gx_pal = jax.grad(
+            lambda p, xc: jnp.sum(cp.pallas_conv_chw(xc, p, 1) ** 2),
+            argnums=(0, 1))(p, xc)
+        np.testing.assert_allclose(np.asarray(gp_pal["kernel"]),
+                                   np.asarray(gp_ref["kernel"]),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(gx_pal, (0, 2, 3, 1))),
+            np.asarray(gx_ref), atol=1e-3, rtol=1e-3)
+
+    def test_fused_prologue_same(self):
+        """BN-prologue SAME conv at lane-exact width vs the unfused
+        reference act(bn-affine) -> conv, incl. gradients."""
+        rng = np.random.default_rng(41)
+        cin, cout, w0 = 4, 5, 128
+        x = jnp.asarray(rng.standard_normal((1, cin, 10, w0)), jnp.float32)
+        p = _params(rng, 3, cin, cout, bias=False)
+        scale = jnp.asarray(rng.random(cin) + 0.5, jnp.float32)
+        shift = jnp.asarray(rng.standard_normal(cin), jnp.float32)
+
+        def ref_fn(p, x):
+            z = x * scale[:, None, None] + shift[:, None, None]
+            z = jnp.where(z >= 0, z, 0.2 * z)
+            return jnp.sum(unet.conv2d_chw(z, p, 1) ** 2)
+
+        def pal_fn(p, x):
+            return jnp.sum(cp.pallas_conv_bn_act_chw(
+                x, p, scale, shift, 1, "zero", 0.2) ** 2)
+
+        np.testing.assert_allclose(float(pal_fn(p, x)), float(ref_fn(p, x)),
+                                   rtol=1e-4)
+        gp_ref, gx_ref = jax.grad(ref_fn, argnums=(0, 1))(p, x)
+        gp_pal, gx_pal = jax.grad(pal_fn, argnums=(0, 1))(p, x)
+        np.testing.assert_allclose(np.asarray(gp_pal["kernel"]),
+                                   np.asarray(gp_ref["kernel"]),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gx_pal), np.asarray(gx_ref),
+                                   atol=1e-3, rtol=1e-3)
+
+
 class TestGradients:
     @pytest.mark.parametrize("stride", [1, 2])
     def test_grads_match_xla(self, stride):
@@ -130,21 +190,21 @@ class TestFusedProloguePadding:
         def fake_kernel(xp, w_, scale_, shift_, k_, negslope_):
             captured["xp"] = xp
             return jnp.zeros((xp.shape[0], w_.shape[-1],
-                              xp.shape[2] - k_ + 1, xp.shape[3] - k_ + 1),
+                              xp.shape[2] - k_ + 1, xp.shape[3]),
                              xp.dtype)
 
-        monkeypatch.setattr(cp, "conv_pro_valid_chw", fake_kernel)
+        monkeypatch.setattr(cp, "conv_same_pro_chw", fake_kernel)
         cp.pallas_conv_bn_act_chw(x, {"kernel": w}, scale, shift,
                                   stride=1, pad="zero", negslope=0.2)
         xp = np.asarray(captured["xp"], np.float32)
-        # interior: bitwise-identical to the input (no v round-trip)
-        np.testing.assert_array_equal(xp[:, :, 1:-1, 1:-1],
+        # The SAME path pads ROWS only (horizontal borders are masked
+        # in-kernel): interior bitwise-identical, no column padding.
+        assert xp.shape[3] == x.shape[3]
+        np.testing.assert_array_equal(xp[:, :, 1:-1, :],
                                       np.asarray(x, np.float32))
-        # border: the prologue pre-image of zero, v = -shift/scale
+        # border rows: the prologue pre-image of zero, v = -shift/scale
         v = np.asarray(-shift / scale, np.float32)
         v_b = np.asarray(jnp.asarray(v, jnp.bfloat16), np.float32)
         for c in range(cin):
             assert np.all(xp[0, c, 0, :] == v_b[c])
             assert np.all(xp[0, c, -1, :] == v_b[c])
-            assert np.all(xp[0, c, :, 0] == v_b[c])
-            assert np.all(xp[0, c, :, -1] == v_b[c])
