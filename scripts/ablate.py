@@ -15,14 +15,23 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from splice_tpu.models import unet, vit
+from splice_tpu.ops import attention, conv_pallas
 label = "default"
+cfg_extra = {}
 if len(sys.argv) > 1:
     mode = sys.argv[1]
     label = mode
     if mode in ("slice", "major", "permdot"):
         unet.STRIDE2_PHASE_MODE = mode
-    elif mode in ("ln_save", "ln_nosave", "ln_inv"):
-        vit.SAVE_LN_STATS = {"ln_save": True, "ln_nosave": False, "ln_inv": "inv"}[mode]
+    elif mode in ("ln_save", "ln_nosave", "ln_inv", "ln_mean"):
+        vit.SAVE_LN_STATS = {"ln_save": True, "ln_nosave": False,
+                             "ln_inv": "inv", "ln_mean": "mean"}[mode]
+    elif mode == "fused":
+        cfg_extra["generator_conv"] = "fused"
+    elif mode == "nopack":
+        attention.PACK_QK_K128 = False
+    elif mode == "novalidkern":
+        conv_pallas.SAME_BORDER_KERNELS = False
     else:
         unet.STRIDE2_CONV_MODE = mode
 
@@ -33,7 +42,7 @@ from splice_tpu.data import load_pair
 cfg = load_config(None, dict(
     dataroot="datasets/splicing/cows", seed=3,
     vit_compute_dtype="bfloat16", use_pallas_attention=True,
-    remat_vit=True))
+    remat_vit=True, **cfg_extra))
 pair = load_pair(cfg)
 extractor = trainer.make_extractor_from_config(cfg)
 program = trainer.build_program(cfg, pair, extractor)

@@ -438,6 +438,163 @@ def _make_dw_kernel(k: int, ht: int, has_pro: bool, negslope: float,
     return kernel
 
 
+def _make_dw_kernel_gtap(k: int, ht: int, has_pro: bool, negslope: float,
+                         off0: int, mask_taps: Optional[Tuple[bool, ...]],
+                         zmask: bool):
+    """Tap-on-N dw kernel: accumulate dw as [Cin, k*k*Cout] by tapping the
+    COTANGENT instead of the input.
+
+    The standard dw dot ([k*k*Cin, P] x [P, Cout]) is MXU pass-bound:
+    passes = ceil(k*k*Cin/128) * ceil(Cout/128), and the N=Cout dimension
+    wastes 1 - Cout/128 of the array (flagship up_conv site: Cin=36,
+    Cout=16 -> 3 x 1 = 3 passes at N=16/128 utilization). Swapping roles —
+    dw[dy,dx,ci,co] = sum_rr z[ci,rr,c] * g[co,rr-dy,c-(dx+off0)] — makes
+    the dot [Cin, P] x [P, k*k*Cout]: ceil(Cin/128) * ceil(k*k*Cout/128)
+    passes (up_conv: 1 x 2 = 2, -33% MXU time). Tap reversal: the SAME tap
+    machinery applied to the top-(k-1)-padded g gives tap (dy', dx') =
+    term (k-1-dy, k-1-dx); _dw_impl flips the reshaped output.
+
+    zmask: a [1, ht*Wp] 0/1 ref zeroing z's lane-padding columns >= w0 —
+    under the fused prologue those hold leaky(shift) != 0, and unlike the
+    x-tapped form nothing else masks them out of the contraction.
+    """
+    has_cmask = mask_taps is not None and any(mask_taps)
+
+    def kernel(*refs):
+        refs = list(refs)
+        z_ref = refs.pop(0)
+        g_ref = refs.pop(0)
+        ghalo_ref = refs.pop(0)
+        cmask_ref = refs.pop(0) if has_cmask else None
+        zmask_ref = refs.pop(0) if zmask else None
+        if has_pro:
+            s_ref, t_ref = refs.pop(0), refs.pop(0)
+        dw_ref, acc_ref = refs
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        cin = z_ref.shape[1]
+        cout = g_ref.shape[1]
+        wp = z_ref.shape[3]
+
+        @pl.when(jnp.logical_and(b == 0, i == 0))
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        z = z_ref[0].reshape(cin, ht * wp)
+        if has_pro:
+            zf = z.astype(jnp.float32) * s_ref[...] + t_ref[...]
+            if negslope != 1.0:
+                zf = jnp.where(zf >= 0, zf, zf * negslope)
+            z = zf.astype(z.dtype)
+        if zmask_ref is not None:
+            z = z * zmask_ref[...]
+        gflat = _flat_slab(g_ref[0], ghalo_ref[0, 0] if k > 1 else None,
+                           k, ht, wp)
+        gtaps = _flat_taps(gflat, k, ht, wp, off0, cmask_ref, mask_taps)
+        big = jnp.stack(gtaps, axis=0).reshape(k * k * cout, ht * wp)
+        acc_ref[:] += jax.lax.dot_general(
+            z, big, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [Cin, k*k*Cout]
+        last = jnp.logical_and(b == pl.num_programs(0) - 1,
+                               i == pl.num_programs(1) - 1)
+
+        @pl.when(last)
+        def _():
+            dw_ref[:] = acc_ref[:].astype(dw_ref.dtype)
+
+    return kernel
+
+
+def _dw_gtap_impl(xp: jax.Array, g: jax.Array, k: int,
+                  scale: Optional[jax.Array],
+                  shift: Optional[jax.Array],
+                  negslope: float) -> jax.Array:
+    """Tap-on-N dw (SAME mode only): grid over xp's row-padded rows,
+    g tapped with reversed offsets. See _make_dw_kernel_gtap."""
+    B, cin, hp, wp0 = xp.shape
+    cout = g.shape[1]
+    ho = hp - k + 1
+    wp = ((wp0 + 127) // 128) * 128
+    if wp > wp0:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, wp - wp0)))
+    ht = min(_rows_per_tile(cout, cin, k, wp, xp.dtype.itemsize), hp)
+    n_tiles = pl.cdiv(hp, ht)
+    if n_tiles * ht > hp:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, n_tiles * ht - hp), (0, 0)))
+    # gp2[rr + dy'] = g[rr - (k-1-dy')]: top-pad k-1 rows; bottom-pad to
+    # the slab need (tile rows + k-1 halo rows).
+    gp2 = jnp.pad(g, ((0, 0), (0, 0), (k - 1, n_tiles * ht - ho),
+                      (0, wp - g.shape[3])))
+    ghalo = _halo(gp2, ht, n_tiles, k)
+    off0 = -(k - 1) // 2
+    L = (ht + k - 1) * wp
+    cmask, mask_taps = _same_col_masks(k, wp, wp0, L, xp.dtype)
+    zmask = wp0 < wp
+    has_pro = scale is not None
+    kernel = _make_dw_kernel_gtap(
+        k, ht, has_pro, negslope, off0,
+        mask_taps if cmask is not None else None, zmask)
+    in_specs = [
+        pl.BlockSpec((1, cin, ht, wp), lambda b, i: (b, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout, ht, wp), lambda b, i: (b, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cout, max(k - 1, 1), wp),
+                     lambda b, i: (b, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, gp2[:, :, :n_tiles * ht, :], ghalo]
+    if cmask is not None:
+        in_specs.append(pl.BlockSpec(cmask.shape, lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(cmask)
+    if zmask:
+        zm = (jnp.arange(ht * wp, dtype=jnp.int32) % wp
+              < wp0).astype(xp.dtype)[None, :]
+        in_specs.append(pl.BlockSpec((1, ht * wp), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(zm)
+    if has_pro:
+        vec = pl.BlockSpec((cin, 1), lambda b, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+        in_specs += [vec, vec]
+        args += [scale.reshape(cin, 1).astype(jnp.float32),
+                 shift.reshape(cin, 1).astype(jnp.float32)]
+    interpret = jax.default_backend() == "cpu"
+    dw = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((cin, k * k * cout), jnp.float32),
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((cin, k * k * cout), lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((cin, k * k * cout), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    # [Cin, k*k*Cout] tap-major (dy', dx') -> [k, k, Cin, Cout] with the
+    # tap reversal dy = k-1-dy', dx = k-1-dx'.
+    dw = dw.reshape(cin, k, k, cout).transpose(1, 2, 0, 3)
+    return dw[::-1, ::-1]
+
+
+def _gtap_better(k: int, cin: int, cout: int) -> bool:
+    """Pick the dw form with fewer MXU output-tile passes (ties keep the
+    x-tapped form — it skips the z lane mask and has the larger install
+    base)."""
+    xtap = -(-(k * k * cin) // 128) * -(-cout // 128)
+    gtap = -(-cin // 128) * -(-(k * k * cout) // 128)
+    return gtap < xtap
+
+
+# Route SAME-mode dw through the tap-on-N kernel where it reduces MXU
+# passes (see _make_dw_kernel_gtap). Ablation knob, measured e2e
+# (PERFORMANCE.md).
+DW_TAP_ON_N = True
+
+
 def _dw_impl(xp: jax.Array, g: jax.Array, k: int,
              scale: Optional[jax.Array] = None,
              shift: Optional[jax.Array] = None,
@@ -448,6 +605,8 @@ def _dw_impl(xp: jax.Array, g: jax.Array, k: int,
     borders come from the in-kernel masked rolls (see _conv_fwd_impl)."""
     B, cin, hp, wp0 = xp.shape
     cout = g.shape[1]
+    if same and k > 1 and DW_TAP_ON_N and _gtap_better(k, cin, cout):
+        return _dw_gtap_impl(xp, g, k, scale, shift, negslope)
     ho = hp - k + 1
     wp = ((wp0 + 127) // 128) * 128
     if wp > wp0:

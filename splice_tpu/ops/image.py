@@ -97,10 +97,16 @@ def crop_and_resize(img: jax.Array, top: jax.Array, left: jax.Array,
     # (half-pixel centers). We want input [top, top+size) -> output [0, canvas).
     ty = -(jnp.asarray(top, jnp.float32) + pad) * scale
     tx = -(jnp.asarray(left, jnp.float32) + pad) * scale
-    return jax.image.scale_and_translate(
-        imgp, (canvas, canvas, c), (0, 1),
+    # CHW internally: scale_and_translate is two dense [in, out]
+    # contractions, and with the HWC layout (C=3 minor) every pass runs
+    # at 3/128 lane utilization plus relayout copies (~0.9 ms/step in the
+    # round-4 trace). With spatial dims minor the same contractions are
+    # plain W-minor matmuls. Numerics identical (same op, same weights).
+    out = jax.image.scale_and_translate(
+        imgp.transpose(2, 0, 1), (c, canvas, canvas), (1, 2),
         jnp.stack([scale, scale]), jnp.stack([ty, tx]),
         method="bilinear", antialias=antialias)
+    return out.transpose(1, 2, 0)
 
 
 def global_crops(img: jax.Array, key: jax.Array, n_crops: int,
@@ -231,28 +237,30 @@ def color_jitter(img: jax.Array, key: jax.Array,
 def gaussian_blur3(img: jax.Array, sigma: jax.Array) -> jax.Array:
     """GaussianBlur(kernel_size=3) with traced sigma, reflect padding
     (torchvision semantics; reference transforms.py:36).  img: [H, W, C].
+
+    Separable 3-tap blur as shifted ADDS, not depthwise convs: the NHWC
+    conv form put C=3 on the minor (lane) axis — 3/128 lane utilization
+    on every pass, ~3 ms/step at 900px (round-2 profile, which is why the
+    callers grew lax.cond gates). Shift-add is pure elementwise work XLA
+    fuses at whatever layout the producer already has (~0.1 ms), fp32
+    throughout (bf16 multiplies band visibly on smooth gradients).
     """
     x = jnp.asarray([-1.0, 0.0, 1.0])
     k1 = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
     k1 = k1 / jnp.sum(k1)
-    # Separable: blur rows then cols via depthwise 1-D convs.
-    img4 = img[None].astype(jnp.float32)                    # [1,H,W,C]
-    c = img.shape[-1]
-    kh = jnp.tile(k1.reshape(3, 1, 1, 1), (1, 1, 1, c))      # [3,1,1,C]
-    kw = jnp.tile(k1.reshape(1, 3, 1, 1), (1, 1, 1, c))
-    # HIGHEST precision: tiny depthwise convs, and TPU default would run the
-    # multiplies in bf16 (visible banding on smooth gradients).
-    pad_h = jnp.pad(img4, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
-    out = jax.lax.conv_general_dilated(
-        pad_h, kh, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
-    pad_w = jnp.pad(out, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
-    out = jax.lax.conv_general_dilated(
-        pad_w, kw, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
-    return out[0].astype(img.dtype)
+    f = img.astype(jnp.float32)
+
+    def tap3(t, axis):
+        lo = jax.lax.slice_in_dim(t, 1, 2, axis=axis)        # reflect head
+        hi = jax.lax.slice_in_dim(t, t.shape[axis] - 2,
+                                  t.shape[axis] - 1, axis=axis)
+        p = jnp.concatenate([lo, t, hi], axis=axis)
+        n = t.shape[axis]
+        return (k1[0] * jax.lax.slice_in_dim(p, 0, n, axis=axis)
+                + k1[1] * jax.lax.slice_in_dim(p, 1, n + 1, axis=axis)
+                + k1[2] * jax.lax.slice_in_dim(p, 2, n + 2, axis=axis))
+
+    return tap3(tap3(f, 0), 1).astype(img.dtype)
 
 
 def random_gaussian_blur3(img: jax.Array, key: jax.Array,
@@ -275,11 +283,13 @@ def random_gaussian_blur3(img: jax.Array, key: jax.Array,
     k_apply, k_sigma = jax.random.split(key)
     sigma = jax.random.uniform(k_sigma, (), minval=0.1, maxval=2.0)
     apply = jax.random.bernoulli(k_apply, p)
-    if not static_ctrl:
-        return jnp.where(apply, gaussian_blur3(img, sigma), img)
-    return jax.lax.cond(apply,
-                        lambda im: gaussian_blur3(im, sigma),
-                        lambda im: im, img)
+    # Always compute-then-where (static_ctrl is accepted for API
+    # stability but no longer selects lax.cond): with the shift-add blur
+    # at ~0.1 ms the cond's full-image branch copies (~0.45 ms/step in
+    # the round-4 trace, paid on EVERY step) cost more than just blurring
+    # every step does.
+    del static_ctrl
+    return jnp.where(apply, gaussian_blur3(img, sigma), img)
 
 
 def structure_augment(img: jax.Array, key: jax.Array,

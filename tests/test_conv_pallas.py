@@ -125,6 +125,64 @@ class TestSameLaneExactWidth:
                                    atol=1e-3, rtol=1e-3)
 
 
+class TestDwTapOnN:
+    """Shapes where _gtap_better picks the tap-on-N dw kernel (cin >>
+    cout, e.g. the up_conv 36->16 flagship site class): weight/input
+    grads must match the XLA reference exactly, plain and with the fused
+    BN prologue, at lane-exact and lane-padded widths."""
+
+    @pytest.mark.parametrize("w0", [128, 40])
+    def test_plain_grads(self, w0):
+        assert cp._gtap_better(3, 20, 2)
+        rng = np.random.default_rng(50 + w0)
+        cin, cout = 20, 2
+        x = jnp.asarray(rng.standard_normal((1, cin, 11, w0)), jnp.float32)
+        p = _params(rng, 3, cin, cout, bias=False)
+        xn = jnp.transpose(x, (0, 2, 3, 1))
+        gp_ref, gx_ref = jax.grad(
+            lambda p, xn: jnp.sum(unet.conv2d(xn, p, 1) ** 2),
+            argnums=(0, 1))(p, xn)
+        gp_pal, gx_pal = jax.grad(
+            lambda p, x: jnp.sum(cp.pallas_conv_chw(x, p, 1) ** 2),
+            argnums=(0, 1))(p, x)
+        np.testing.assert_allclose(np.asarray(gp_pal["kernel"]),
+                                   np.asarray(gp_ref["kernel"]),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(gx_pal, (0, 2, 3, 1))),
+            np.asarray(gx_ref), atol=1e-3, rtol=1e-3)
+
+    @pytest.mark.parametrize("w0", [128, 40])
+    def test_fused_prologue_grads(self, w0):
+        """The z lane mask matters here: under the prologue, padding
+        lanes hold leaky(shift) != 0 and would otherwise leak into dw."""
+        rng = np.random.default_rng(60 + w0)
+        cin, cout = 20, 2
+        x = jnp.asarray(rng.standard_normal((1, cin, 9, w0)), jnp.float32)
+        p = _params(rng, 3, cin, cout, bias=False)
+        scale = jnp.asarray(rng.random(cin) + 0.5, jnp.float32)
+        shift = jnp.asarray(rng.standard_normal(cin), jnp.float32)
+
+        def ref_fn(p, x):
+            z = x * scale[:, None, None] + shift[:, None, None]
+            z = jnp.where(z >= 0, z, 0.2 * z)
+            return jnp.sum(unet.conv2d_chw(z, p, 1) ** 2)
+
+        def pal_fn(p, x):
+            return jnp.sum(cp.pallas_conv_bn_act_chw(
+                x, p, scale, shift, 1, "zero", 0.2) ** 2)
+
+        np.testing.assert_allclose(float(pal_fn(p, x)),
+                                   float(ref_fn(p, x)), rtol=1e-4)
+        gp_ref, gx_ref = jax.grad(ref_fn, argnums=(0, 1))(p, x)
+        gp_pal, gx_pal = jax.grad(pal_fn, argnums=(0, 1))(p, x)
+        np.testing.assert_allclose(np.asarray(gp_pal["kernel"]),
+                                   np.asarray(gp_ref["kernel"]),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gx_pal), np.asarray(gx_ref),
+                                   atol=1e-3, rtol=1e-3)
+
+
 class TestGradients:
     @pytest.mark.parametrize("stride", [1, 2])
     def test_grads_match_xla(self, stride):
