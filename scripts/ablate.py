@@ -32,6 +32,14 @@ if len(sys.argv) > 1:
         attention.PACK_QK_K128 = False
     elif mode == "novalidkern":
         conv_pallas.SAME_BORDER_KERNELS = False
+    elif mode.startswith("kw"):
+        unet.PALLAS_MIN_WIDTH = int(mode[2:])
+    elif mode == "nodwtap":
+        conv_pallas.DW_TAP_ON_N = False
+    elif mode == "padstream":
+        vit.PAD_TOKEN_STREAM = True
+    elif mode.startswith("tb"):
+        conv_pallas.TILE_BUDGET_BYTES = int(mode[2:]) * 1024 * 1024
     else:
         unet.STRIDE2_CONV_MODE = mode
 

@@ -457,6 +457,14 @@ def bn_affine_chw(x: jax.Array, p: Dict[str, jax.Array],
     return inv, shift
 
 
+# Minimum operating lane width for routing a conv site to the Pallas
+# kernels (auto dispatch). 448 was the round-2 e2e-measured cutoff with
+# the VALID pre-padded kernels; the SAME-border kernels changed the
+# tradeoff (no pad-to-128 blowup), so the cutoff is a knob for
+# re-measurement (scripts/ablate.py kw<N>).
+PALLAS_MIN_WIDTH = 448
+
+
 def batch_norm_chw(x: jax.Array, p: Dict[str, jax.Array],
                    eps: float = 1e-5) -> jax.Array:
     """batch_norm for [B, C, H, W] (same math; stats over B, H, W)."""
@@ -494,11 +502,12 @@ def _skip_apply_chw_fused(params: Dict[str, Any], cfg: SkipConfig,
         loses to XLA's fused dots (measured e2e: all-Pallas 21.9 steps/s
         vs hybrid; same shape of result as the round-1 auto heuristic)."""
         hw = x.shape[3] // (2 if stride == 2 else 1)
-        return on_tpu and (hw >= 448 or FORCE_FUSED_KERNELS_ON_CPU)
+        return on_tpu and (hw >= PALLAS_MIN_WIDTH
+                           or FORCE_FUSED_KERNELS_ON_CPU)
 
     def conv_plain(x, p, stride):
         if on_tpu and stride == 1 and p["kernel"].shape[0] >= 3 \
-                and x.shape[3] >= 448 and x.shape[1] > 16:
+                and x.shape[3] >= PALLAS_MIN_WIDTH and x.shape[1] > 16:
             return pallas_conv_chw(x, p, stride, cfg.pad)
         return conv2d_chw(x, p, stride, cfg.pad)
 
@@ -652,7 +661,8 @@ def skip_apply_chw(params: Dict[str, Any], cfg: SkipConfig,
                 through the s2d kernel regressed 24.1 -> 22.3 steps/s)."""
                 kh = p["kernel"].shape[0]
                 cin, hw = x.shape[1], x.shape[3]
-                if stride == 1 and kh >= 3 and hw >= 448 and cin > 16:
+                if stride == 1 and kh >= 3 and hw >= PALLAS_MIN_WIDTH \
+                        and cin > 16:
                     return pallas_conv_chw(x, p, stride, pad)
                 return conv2d_chw(x, p, stride, pad)
     else:

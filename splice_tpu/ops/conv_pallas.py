@@ -38,10 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 SAME_BORDER_KERNELS = True
 
 
+# H-tile VMEM budget for the conv kernels (ablation knob, see
+# scripts/ablate.py tb<MB>): bigger tiles amortize per-grid-cell entry
+# overhead against VMEM pressure. 2 MB (round 1-3) -> 6 MB measured
+# +0.1 steps/s e2e at the flagship workload (ablate tb6).
+TILE_BUDGET_BYTES = 6 * 1024 * 1024
+
+
 def _rows_per_tile(cin: int, cout: int, k: int, wp: int,
                    itemsize: int) -> int:
     """Pick the H-tile so slab + accumulator fit comfortably in VMEM."""
-    budget = 2 * 1024 * 1024
+    budget = TILE_BUDGET_BYTES
     lanes = ((wp + 127) // 128) * 128
     per_row = (cin + cout) * lanes * itemsize + cout * lanes * 4
     rows = max(budget // max(per_row, 1), 8)
