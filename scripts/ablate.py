@@ -30,7 +30,9 @@ if len(sys.argv) > 1:
         cfg_extra["generator_conv"] = "fused"
     elif mode == "nopack":
         attention.PACK_QK_K128 = False
-    elif mode == "novalidkern":
+    elif mode == "nosamekern":
+        # disables the SAME-border kernels -> falls back to the
+        # pre-padded VALID kernel path
         conv_pallas.SAME_BORDER_KERNELS = False
     elif mode.startswith("kw"):
         unet.PALLAS_MIN_WIDTH = int(mode[2:])

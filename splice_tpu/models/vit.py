@@ -522,18 +522,19 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
     # and carry exactly-zero cotangents.
     n_valid = 0
     n_tokens = x.shape[1]
-    if (PAD_TOKEN_STREAM and use_pallas and n_tokens % 8 != 0
+    # Pad target: the fused-qkv kernel path (dh=64, D % 128 == 0) only
+    # needs a SUBLANE multiple (the kv axis pads to the q grid), so
+    # 785 -> 792 (+0.9% rows) instead of the split-tensor kernels'
+    # 128-lane multiple 896 (+14% dense work in every LN/dense op — why
+    # this knob measured e2e-negative in round 3). The %8 relaxation
+    # applies ONLY on the fused path; the split-tensor path keeps the
+    # round-3 %128 gate so the knob's measured meaning is unchanged.
+    fused_qkv_path = cfg.head_dim == 64 and cfg.embed_dim % 128 == 0
+    pad_to = (-(-n_tokens // 8) * 8 if fused_qkv_path
+              else -(-n_tokens // 128) * 128)
+    if (PAD_TOKEN_STREAM and use_pallas and pad_to != n_tokens
             and cfg.head_dim % 64 == 0
             and -(-n_tokens // 128) * 128 <= attn_ops._MAX_N_PAD):
-        # Pad target: the fused-qkv kernel path (dh=64, D % 128 == 0)
-        # only needs a SUBLANE multiple (the kv axis pads to the q grid),
-        # so 785 -> 792 (+0.9% rows) instead of the split-tensor
-        # kernels' 128-lane multiple 896 (+14% dense work in every
-        # LN/dense op — why this knob measured e2e-negative in round 3).
-        if cfg.head_dim == 64 and cfg.embed_dim % 128 == 0:
-            pad_to = -(-n_tokens // 8) * 8
-        else:
-            pad_to = -(-n_tokens // 128) * 128
         x = jnp.pad(x, ((0, 0), (0, pad_to - n_tokens), (0, 0)))
         n_valid = n_tokens
 

@@ -887,8 +887,10 @@ def pallas_conv_bn_act_chw(x: jax.Array, p: dict, scale: jax.Array,
     w = p["kernel"]
     k, _, cin, cout = w.shape
     to_pad = (k - 1) // 2
+    # k must be odd: the SAME kernels return width W, but for even k the
+    # torch (k-1)//2-pad VALID semantics this function mirrors return W-1.
     if (to_pad > 0 and pad != "reflection" and stride == 1
-            and SAME_BORDER_KERNELS):
+            and k % 2 == 1 and SAME_BORDER_KERNELS):
         # SAME path: rows only carry a physical border (the prologue's
         # zero pre-image v = -shift/scale, so the in-VMEM prologue maps
         # them to exactly 0); horizontal zero borders of the normalized
@@ -981,8 +983,9 @@ def pallas_conv_chw(x: jax.Array, p: dict, stride: int = 1,
     w = p["kernel"]
     k, _, cin, cout = w.shape
     to_pad = (k - 1) // 2
+    # k % 2 == 1: see pallas_conv_bn_act_chw — even k would change widths.
     if (to_pad > 0 and pad != "reflection" and stride == 1
-            and SAME_BORDER_KERNELS):
+            and k % 2 == 1 and SAME_BORDER_KERNELS):
         # SAME path: physical pad on rows only; horizontal zero borders
         # come from the kernel's masked lane-rolls (no width pre-pad).
         x = jnp.pad(x, ((0, 0), (0, 0), (to_pad, to_pad), (0, 0)))

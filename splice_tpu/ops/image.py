@@ -264,31 +264,19 @@ def gaussian_blur3(img: jax.Array, sigma: jax.Array) -> jax.Array:
 
 
 def random_gaussian_blur3(img: jax.Array, key: jax.Array,
-                          p: float = 0.2,
-                          static_ctrl: bool = True) -> jax.Array:
+                          p: float = 0.2) -> jax.Array:
     """RandomApply(GaussianBlur(3), p) with sigma ~ U(0.1, 2.0)
     (torchvision default sigma range).
 
-    lax.cond, not compute-then-select: under jit the untaken branch is
-    skipped, so the full-image separable blur (~3 ms/step at 900px,
-    profiled as the hottest augmentation op) only runs on the ~p of steps
-    that actually use it. Under vmap (multi-pair) cond lowers back to
-    select and both branches run — same cost as before, no worse.
-
-    static_ctrl=False uses the compute-then-where form directly: the
-    multi-pair path vmaps this over pairs (cond -> select anyway, so no
-    extra cost) and its check_vma=True shard_map region trips a jax-0.9.0
-    cond/vma unification bug ("pvary is a invariant->variant collective"
-    on an operand already varying)."""
+    Always compute-then-where: with the shift-add blur at ~0.1 ms the
+    lax.cond form's full-image branch copies (~0.45 ms/step in the
+    round-4 trace, paid on EVERY step) cost more than just blurring every
+    step does. (A static_ctrl knob used to select lax.cond dispatch here;
+    it was removed when the measurement flipped — the cond/where choice
+    now exists only for the ColorJitter gate in structure_augment.)"""
     k_apply, k_sigma = jax.random.split(key)
     sigma = jax.random.uniform(k_sigma, (), minval=0.1, maxval=2.0)
     apply = jax.random.bernoulli(k_apply, p)
-    # Always compute-then-where (static_ctrl is accepted for API
-    # stability but no longer selects lax.cond): with the shift-add blur
-    # at ~0.1 ms the cond's full-image branch copies (~0.45 ms/step in
-    # the round-4 trace, paid on EVERY step) cost more than just blurring
-    # every step does.
-    del static_ctrl
     return jnp.where(apply, gaussian_blur3(img, sigma), img)
 
 
@@ -297,9 +285,11 @@ def structure_augment(img: jax.Array, key: jax.Array,
     """dino_structure_transforms (reference transforms.py:30-37):
     HFlip(0.5) -> ColorJitter(0.4,0.4,0.2,0.1)@p=0.5 -> GaussianBlur(3)@p=0.2.
 
-    static_ctrl: see random_gaussian_blur3 — False swaps lax.cond gates
-    for compute-then-where (needed under check_vma shard_map regions on
-    jax 0.9.0; identical numerics, tested).
+    static_ctrl: True gates ColorJitter with lax.cond (the untaken branch
+    is skipped under jit); False uses compute-then-where (needed under
+    check_vma shard_map regions on jax 0.9.0, which trip a cond/vma
+    unification bug; identical numerics, tested). The blur is always
+    compute-then-where — see random_gaussian_blur3.
     """
     k1, k2, k3, k4 = jax.random.split(key, 4)
     img = random_hflip(img, k1)
@@ -310,7 +300,7 @@ def structure_augment(img: jax.Array, key: jax.Array,
                            lambda im: im, img)
     else:
         img = jnp.where(jitter_on, color_jitter(img, k2), img)
-    img = random_gaussian_blur3(img, k4, static_ctrl=static_ctrl)
+    img = random_gaussian_blur3(img, k4)
     return img
 
 
