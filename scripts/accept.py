@@ -64,10 +64,17 @@ def main():
                          "omit to report PSNR/SSIM only")
     ap.add_argument("--n_epochs", type=int, default=2000)
     ap.add_argument("--pairs", nargs="*", default=list(PAIRS))
+    ap.add_argument("--datasets_root", default=str(REPO / "datasets"
+                                                   / "splicing"),
+                    help="directory holding the <pair>/{A,B[,ref]} trees")
+    ap.add_argument("--train_args", default="",
+                    help="extra flags forwarded verbatim to train.py "
+                         "(e.g. '--A_resize 224 --jax_platform cpu')")
     ap.add_argument("--out", default=str(REPO / "accept.json"))
     ap.add_argument("--vit_npz", default="/tmp/accept_vit.npz",
                     help="where to write the ported weights")
     args = ap.parse_args()
+    extra_train_args = args.train_args.split()
 
     report = {"checkpoint": args.checkpoint, "model_name": args.model_name,
               "n_epochs": args.n_epochs, "pairs": {}, "pass": None,
@@ -88,7 +95,7 @@ def main():
     verdicts = []
     pipeline_error = False
     for pair in args.pairs:
-        droot = REPO / "datasets" / "splicing" / pair
+        droot = pathlib.Path(args.datasets_root) / pair
         entry = {"dataroot": str(droot)}
         t0 = time.time()
         try:
@@ -96,7 +103,8 @@ def main():
                  "--dataroot", str(droot),
                  "--vit_weights", args.vit_npz,
                  "--dino_model_name", args.model_name,
-                 "--n_epochs", str(args.n_epochs)], cwd=REPO)
+                 "--n_epochs", str(args.n_epochs)] + extra_train_args,
+                cwd=REPO)
             entry["trained"] = True
             entry["train_wall_s"] = round(time.time() - t0, 1)
         except subprocess.CalledProcessError as e:

@@ -43,40 +43,47 @@ GOLDEN_ROWS = np.unique(np.concatenate(
 PROB_ROWS = np.asarray([0, 1, 100, 392, 700, N_TOKENS - 1], np.int64)
 
 
-def make_state(seed: int = SEED) -> Dict[str, np.ndarray]:
+def make_state(seed: int = SEED, dim: int = DIM, depth: int = DEPTH,
+               img: int = IMG, patch: int = PATCH) -> Dict[str, np.ndarray]:
     """DINO-layout state dict with deterministic values.
 
     Weight scale 0.02 keeps the depth-12 residual stream bounded; biases are
     non-zero so a dropped/mis-mapped bias cannot pass silently.
+
+    Defaults generate the ViT-B/8 layout the golden fixture freezes; the
+    dim/depth overrides let other tests build smaller DINO-family layouts
+    (e.g. dim=384 for dino_vits8 in the accept.py pipeline test) through
+    the same deterministic generator.
     """
     rng = np.random.default_rng(seed)
+    mlp_hidden = 4 * dim
 
     def w(*shape, std=0.02):
         return (std * rng.standard_normal(shape)).astype(np.float32)
 
-    grid = IMG // PATCH
+    grid = img // patch
     s: Dict[str, np.ndarray] = {
-        "cls_token": w(1, 1, DIM),
-        "pos_embed": w(1, 1 + grid * grid, DIM),
-        "patch_embed.proj.weight": w(DIM, 3, PATCH, PATCH),
-        "patch_embed.proj.bias": w(DIM, std=0.01),
-        "norm.weight": 1.0 + w(DIM, std=0.05),
-        "norm.bias": w(DIM, std=0.01),
+        "cls_token": w(1, 1, dim),
+        "pos_embed": w(1, 1 + grid * grid, dim),
+        "patch_embed.proj.weight": w(dim, 3, patch, patch),
+        "patch_embed.proj.bias": w(dim, std=0.01),
+        "norm.weight": 1.0 + w(dim, std=0.05),
+        "norm.bias": w(dim, std=0.01),
     }
-    for i in range(DEPTH):
+    for i in range(depth):
         p = f"blocks.{i}"
-        s[f"{p}.norm1.weight"] = 1.0 + w(DIM, std=0.05)
-        s[f"{p}.norm1.bias"] = w(DIM, std=0.01)
-        s[f"{p}.attn.qkv.weight"] = w(3 * DIM, DIM)
-        s[f"{p}.attn.qkv.bias"] = w(3 * DIM, std=0.01)
-        s[f"{p}.attn.proj.weight"] = w(DIM, DIM)
-        s[f"{p}.attn.proj.bias"] = w(DIM, std=0.01)
-        s[f"{p}.norm2.weight"] = 1.0 + w(DIM, std=0.05)
-        s[f"{p}.norm2.bias"] = w(DIM, std=0.01)
-        s[f"{p}.mlp.fc1.weight"] = w(MLP_HIDDEN, DIM)
-        s[f"{p}.mlp.fc1.bias"] = w(MLP_HIDDEN, std=0.01)
-        s[f"{p}.mlp.fc2.weight"] = w(DIM, MLP_HIDDEN)
-        s[f"{p}.mlp.fc2.bias"] = w(DIM, std=0.01)
+        s[f"{p}.norm1.weight"] = 1.0 + w(dim, std=0.05)
+        s[f"{p}.norm1.bias"] = w(dim, std=0.01)
+        s[f"{p}.attn.qkv.weight"] = w(3 * dim, dim)
+        s[f"{p}.attn.qkv.bias"] = w(3 * dim, std=0.01)
+        s[f"{p}.attn.proj.weight"] = w(dim, dim)
+        s[f"{p}.attn.proj.bias"] = w(dim, std=0.01)
+        s[f"{p}.norm2.weight"] = 1.0 + w(dim, std=0.05)
+        s[f"{p}.norm2.bias"] = w(dim, std=0.01)
+        s[f"{p}.mlp.fc1.weight"] = w(mlp_hidden, dim)
+        s[f"{p}.mlp.fc1.bias"] = w(mlp_hidden, std=0.01)
+        s[f"{p}.mlp.fc2.weight"] = w(dim, mlp_hidden)
+        s[f"{p}.mlp.fc2.bias"] = w(dim, std=0.01)
     return s
 
 

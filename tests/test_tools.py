@@ -335,3 +335,107 @@ class TestCheckpointerRobustness:
         assert s2.lr_for_step(0) == s.lr_for_step(0)
         assert s2._bad_epochs == s._bad_epochs
         assert s2._best == s._best
+
+
+@pytest.mark.slow
+class TestAcceptPipeline:
+    """scripts/accept.py is the turnkey port->train->evaluate->verdict
+    pipeline that will run exactly once, on first contact with a real
+    DINO checkpoint (reference models/extractor.py:20 is the artifact it
+    replaces). Exercise every line of it today with a fake torch .pth
+    built from the deterministic golden-layout generator (round-4 VERDICT
+    missing #1 / next #5)."""
+
+    def _run_accept(self, tmp_path, ds_root, ckpt, n_epochs):
+        import json
+        import subprocess
+        import sys
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        out_json = tmp_path / f"accept_{n_epochs}.json"
+        train_args = (
+            "--A_resize 48 --B_resize 48 --seed 9 "
+            "--entire_A_every 100 --log_images_freq 3 "
+            "--vit_compute_dtype float32 --use_pallas_attention false "
+            "--remat_vit false --dino_global_patch_size 32 "
+            "--dino_global_max_size 64 --jax_platform cpu "
+            "--compile_cache_dir /tmp/jax_test_cache")
+        cmd = [sys.executable, str(repo / "scripts" / "accept.py"),
+               "--checkpoint", str(ckpt), "--model_name", "dino_vits8",
+               "--n_epochs", str(n_epochs), "--pairs", "selfpair",
+               "--datasets_root", str(ds_root),
+               "--train_args", train_args,
+               "--out", str(out_json),
+               "--vit_npz", str(tmp_path / "vit.npz")]
+        proc = subprocess.run([str(c) for c in cmd], cwd=repo,
+                              capture_output=True, timeout=1800)
+        report = json.loads(out_json.read_text()) if out_json.exists() \
+            else None
+        return proc, report
+
+    def test_port_train_verdict_end_to_end(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import golden_vit
+        # dino_vits8-layout fake checkpoint (dim 384) through the REAL
+        # port path the eventual dino_vitsmall8_pretrain.pth will take.
+        state = golden_vit.make_state(seed=5, dim=384)
+        ckpt = tmp_path / "fake_dino_vits8.pth"
+        torch.save({k: torch.from_numpy(v) for k, v in state.items()},
+                   str(ckpt))
+        ds_root = tmp_path / "ds"
+        src = pathlib.Path(__file__).resolve().parents[1] / \
+            "datasets/splicing/cows"
+        shutil.copytree(src / "A", ds_root / "selfpair" / "A")
+        shutil.copytree(src / "B", ds_root / "selfpair" / "B")
+
+        # Pass 1: no ref output -> trains, reports ref_available=false
+        # with the blocking artifact named, verdict null, exit 0.
+        proc, report = self._run_accept(tmp_path, ds_root, ckpt, 4)
+        err = proc.stderr.decode(errors="replace")
+        assert proc.returncode == 0, err[-3000:]
+        assert report is not None
+        entry = report["pairs"]["selfpair"]
+        assert entry["trained"] is True
+        assert entry["ref_available"] is False
+        assert "ref/output.png" in entry["blocking_artifact"]
+        assert report["pass"] is None
+        assert report["lpips_threshold"] == 0.05
+        out_png = ds_root / "selfpair" / "out" / "output.png"
+        assert out_png.exists()
+        assert (tmp_path / "vit.npz").exists()   # port really ran
+
+        # Pass 2: ref present -> PSNR/SSIM computed against it; LPIPS
+        # still blocked (no weights) so the verdict stays null, exit 0.
+        ref_png = ds_root / "selfpair" / "ref" / "output.png"
+        ref_png.parent.mkdir()
+        shutil.copy(out_png, ref_png)
+        proc, report = self._run_accept(tmp_path, ds_root, ckpt, 5)
+        assert proc.returncode == 0, \
+            proc.stderr.decode(errors="replace")[-3000:]
+        entry = report["pairs"]["selfpair"]
+        assert entry["ref_available"] is True
+        assert np.isfinite(entry["psnr"]) and entry["psnr"] > 10.0
+        assert 0.0 < entry["ssim"] <= 1.0
+        assert entry["lpips"] is None
+        assert "lpips_weights" in entry["blocking_artifact"]
+        assert report["pass"] is None
+
+    def test_bad_checkpoint_is_pipeline_error(self, tmp_path):
+        """A checkpoint the port tool cannot read must exit 2 (pipeline
+        error) with the failure recorded, never a silent pass."""
+        import json
+        import subprocess
+        import sys
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        bad = tmp_path / "bad.pth"
+        bad.write_bytes(b"not a torch file")
+        out_json = tmp_path / "accept.json"
+        cmd = [sys.executable, str(repo / "scripts" / "accept.py"),
+               "--checkpoint", str(bad), "--model_name", "dino_vits8",
+               "--out", str(out_json), "--vit_npz",
+               str(tmp_path / "vit.npz")]
+        proc = subprocess.run(cmd, cwd=repo, capture_output=True,
+                              timeout=300)
+        assert proc.returncode == 2
+        report = json.loads(out_json.read_text())
+        assert "weight port failed" in report["error"]
+        assert report["pairs"] == {}
