@@ -1,5 +1,7 @@
 """Single-flag ablation bench: 200-step window, 1 seed, warm cache.
-Usage: python scripts/ablate.py <mode>   (mode -> unet.STRIDE2_CONV_MODE)
+Usage: python scripts/ablate.py [mode ...]   (unknown modes ->
+unet.STRIDE2_CONV_MODE). Several modes combine, e.g.
+`ablate.py nosamekern kw512`.
 """
 import pathlib as _pathlib
 import sys as _sys
@@ -18,9 +20,8 @@ from splice_tpu.models import unet, vit
 from splice_tpu.ops import attention, conv_pallas
 label = "default"
 cfg_extra = {}
-if len(sys.argv) > 1:
-    mode = sys.argv[1]
-    label = mode
+for mode in sys.argv[1:]:
+    label = "+".join(sys.argv[1:])
     if mode in ("slice", "major", "permdot"):
         unet.STRIDE2_PHASE_MODE = mode
     elif mode in ("ln_save", "ln_nosave", "ln_inv", "ln_mean"):

@@ -33,9 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 # Route stride-1 zero-pad convs through the SAME-border kernels (in-kernel
 # masked lane-rolls, no horizontal pre-pad) instead of the VALID kernels
 # on a 128-aligned pre-padded width. Ablation knob, measured e2e
-# (PERFORMANCE.md): the mask multiplies cost VPU time comparable to the
-# 12.5% lane saving at the flagship 896-canvas shapes.
-SAME_BORDER_KERNELS = True
+# (PERFORMANCE.md). Round 4 measured SAME as part of a +1.35 bundle; the
+# round-5 re-sweep AFTER the dw tap-on-N + CHW crop-contraction changes
+# measures VALID faster (31.9 vs 31.6 steps/s, scripts/ablate.py
+# nosamekern, two runs each), so the default flipped back — the mask
+# multiplies' VPU time now exceeds what the 12.5% lane saving buys.
+SAME_BORDER_KERNELS = False
 
 
 # H-tile VMEM budget for the conv kernels (ablation knob, see

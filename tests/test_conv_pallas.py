@@ -251,6 +251,7 @@ class TestFusedProloguePadding:
                               xp.shape[2] - k_ + 1, xp.shape[3]),
                              xp.dtype)
 
+        monkeypatch.setattr(cp, "SAME_BORDER_KERNELS", True)
         monkeypatch.setattr(cp, "conv_same_pro_chw", fake_kernel)
         cp.pallas_conv_bn_act_chw(x, {"kernel": w}, scale, shift,
                                   stride=1, pad="zero", negslope=0.2)
