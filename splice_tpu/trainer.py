@@ -232,6 +232,7 @@ class SpliceProgram:
     unravel: Callable = None    # flat param vector -> param tree
     ravel: Callable = None      # param tree -> flat vector
     render_u8: Callable = None  # render + on-device uint8 (cheap d2h)
+    precompile: Callable = None  # parallel AOT compile of known chunk sizes
 
 
 def fetch_scalars(parts: Dict[str, Any]) -> Dict[str, float]:
@@ -377,9 +378,33 @@ def build_program(cfg: Config, pair: ImagePair,
     # (closure-captured params would be embedded as HLO literals: 344MB of
     # ViT-B weights per program, breaking compile time and upload limits)
 
+    # AOT-compiled executables keyed by chunk size (int) or "entire",
+    # produced by precompile() on background threads. Each distinct chunk
+    # size is a SEPARATE multi-minute XLA compile; without precompile the
+    # host loop hits them serially, mid-run, at the first step of that
+    # size (measured: a cold 400-step CLI run stalls ~1-2 min each at
+    # steps 70/76 when the 5- and 4-step boundary chunks first compile).
+    _aot: Dict[Any, Any] = {}
+
+    def _aot_get(key_):
+        fut = _aot.get(key_)
+        if fut is None:
+            return None
+        try:
+            return fut.result()
+        except Exception:
+            _aot[key_] = None       # compile failed: fall back to jit
+            return None
+
     def step_chunk(state, A, B, start_idx, base_key, lam, n: int):
         """Run n consecutive regular steps (one compiled program per
         distinct n; the host loop uses a handful of sizes)."""
+        exe = _aot_get(n)
+        if exe is not None:
+            try:
+                return exe(state, vparams, A, B, start_idx, base_key, lam)
+            except Exception:
+                _aot[n] = None      # aval drift vs the precompiled args
         if n not in _jit_chunks:
             _jit_chunks[n] = jax.jit(functools.partial(chunk, n=n),
                                      donate_argnums=(0,))
@@ -390,7 +415,60 @@ def build_program(cfg: Config, pair: ImagePair,
         return step_chunk(state, A, B, step_idx, base_key, lam, 1)
 
     def step_entire(state, A, B, step_idx, base_key, lam):
+        exe = _aot_get("entire")
+        if exe is not None:
+            try:
+                return exe(state, vparams, A, B, step_idx, base_key, lam)
+            except Exception:
+                _aot["entire"] = None
         return _jit_entire(state, vparams, A, B, step_idx, base_key, lam)
+
+    def precompile(state, A, B, base_key, sizes, include_entire=True):
+        """Compile the run's known chunk-size programs (and the entire-A
+        step) concurrently on background threads via the AOT API, so the
+        host loop never stalls on a first-encounter compile. Returns
+        immediately; step_chunk/step_entire block on the matching future
+        only when they actually need that program.
+
+        The chunk sizes are fully determined by the boundary policy
+        (train_pair walks boundaries_after over the whole run), so every
+        program can start compiling at step 0 instead of surfacing
+        serially at steps 70, 75, 76, ... XLA compiles are internally
+        multithreaded but release the GIL, so a small pool overlaps them.
+        """
+        import concurrent.futures as cf
+
+        def sds(t):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), t)
+
+        s_state, s_vp, s_A, s_B = sds(state), sds(vparams), sds(A), sds(B)
+        s_idx = jax.ShapeDtypeStruct((), jnp.int32)
+        s_key = sds(base_key)
+        s_lam = jax.ShapeDtypeStruct((len(LAMBDA_ORDER),), jnp.float32)
+
+        jobs = []
+        for n in sorted(set(sizes)):
+            if n in _aot or n in _jit_chunks:
+                continue
+            jfn = jax.jit(functools.partial(chunk, n=n), donate_argnums=(0,))
+            jobs.append((n, jfn))
+        if include_entire and "entire" not in _aot:
+            jobs.append(("entire", _jit_entire))
+        if not jobs:
+            return
+        pool = cf.ThreadPoolExecutor(max_workers=min(3, len(jobs)))
+        for key_, jfn in jobs:
+            _aot[key_] = pool.submit(
+                lambda f=jfn: f.lower(s_state, s_vp, s_A, s_B, s_idx,
+                                      s_key, s_lam).compile())
+        pool.shutdown(wait=False)
+
+    # Introspection for tests: step_chunk must actually consume the AOT
+    # executables (a silently-broken lower/compile would fall back to the
+    # serial mid-run jit compiles this exists to remove).
+    precompile.aot = _aot
+    precompile.jit_cache = _jit_chunks
 
     @jax.jit
     def render(flat_params, A):
@@ -432,7 +510,7 @@ def build_program(cfg: Config, pair: ImagePair,
                          render_u8=render_u8,
                          init_state=init_state, gcfg=gcfg,
                          extractor=extractor, unravel=unravel,
-                         ravel=ravel_params)
+                         ravel=ravel_params, precompile=precompile)
 
 
 # ---------------------------------------------------------------------------
@@ -589,6 +667,27 @@ def train_pair(cfg: Config, pair: Optional[ImagePair] = None,
             # scanned step (device_lr_fn) and keep full-length chunks.
             cands.append(i + PLATEAU_PATIENCE + 1)
         return min(c for c in cands if c > i)
+
+    if program.precompile is not None:
+        # The boundary walk below is the exact step-class sequence the
+        # loop will execute, so every distinct chunk size (and whether an
+        # entire-A step occurs) is known NOW — start all those compiles
+        # in parallel instead of stalling 1-2 min at each size's first
+        # mid-run encounter (measured on the 400-step CLI run: stalls at
+        # steps 70/76 for the 5- and 4-step boundary chunks).
+        sizes = set()
+        any_entire = False
+        i = start_epoch - 1
+        while i < total_steps:
+            if losses_lib.is_entire_step(cfg, i):
+                any_entire = True
+                i += 1
+                continue
+            b = boundaries_after(i)
+            sizes.add(b - i)
+            i = b
+        program.precompile(state, pair.A, pair.B, k_steps, sizes,
+                           include_entire=any_entire)
 
     t_start = time.perf_counter()
     step_idx = start_epoch - 1

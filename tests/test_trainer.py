@@ -342,3 +342,50 @@ class TestSelfTransferKnownOptimum:
         # the trend is sustained, not a last-moment fluke: the second half
         # of the run stays above the first render
         assert min(curve[len(curve) // 2:]) > curve[0], curve
+
+
+class TestPrecompileChunks:
+    def test_aot_chunks_used_and_match_jit(self, tmp_path):
+        """build_program.precompile() AOT-compiles the boundary chunk
+        sizes on background threads so the CLI loop never stalls on a
+        first-encounter compile (measured 1-2 min per size mid-run on
+        TPU). The executables must actually be CONSUMED by step_chunk —
+        a silently-broken lower/compile would fall back to the serial
+        jit path this exists to remove — and must produce bit-identical
+        results to that jit path."""
+        root = tmp_path / "pair"
+        src = pathlib.Path("datasets/splicing/cows")
+        shutil.copytree(src / "A", root / "A")
+        shutil.copytree(src / "B", root / "B")
+        cfg = load_config(None, dict(
+            dataroot=str(root), A_resize=64, B_resize=64, seed=5,
+            n_epochs=6, vit_compute_dtype="float32",
+            use_pallas_attention=False, remat_vit=False,
+            dino_model_name="dino_vits8", dino_global_patch_size=32,
+            dino_global_max_size=64))
+        pair = trainer.load_pair(cfg)
+        extractor = trainer.make_extractor_from_config(cfg)
+        key = jax.random.PRNGKey(7)
+        lam = jnp.asarray(trainer.lambdas_vec(cfg, 2))
+
+        def run(use_precompile):
+            program = trainer.build_program(cfg, pair, extractor)
+            state = program.init_state(jax.random.PRNGKey(1))
+            if use_precompile:
+                program.precompile(state, pair.A, pair.B, key, {2},
+                                   include_entire=False)
+            state, parts = program.step_chunk(
+                state, pair.A, pair.B, jnp.int32(1), key, lam, 2)
+            return program, parts
+
+        prog_aot, parts_aot = run(True)
+        # the AOT executable exists, compiled successfully, and the jit
+        # fallback cache was never populated for that size
+        assert 2 in prog_aot.precompile.aot
+        assert prog_aot.precompile.aot[2].result() is not None
+        assert 2 not in prog_aot.precompile.jit_cache
+
+        prog_jit, parts_jit = run(False)
+        assert 2 in prog_jit.precompile.jit_cache
+        np.testing.assert_array_equal(np.asarray(parts_aot["loss"]),
+                                      np.asarray(parts_jit["loss"]))
