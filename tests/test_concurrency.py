@@ -61,9 +61,9 @@ class TestAsyncImageSaverStress:
 
         real_write = io_utils._write_png
 
-        def slow_write(arr, path):
+        def slow_write(arr, path, **kw):
             time.sleep(0.02)
-            real_write(arr, path)
+            real_write(arr, path, **kw)
 
         monkeypatch.setattr(io_utils, "_write_png", slow_write)
         saver = io_utils.AsyncImageSaver()
