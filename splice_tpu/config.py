@@ -64,7 +64,10 @@ class Config:
     # pipeline still runs end to end; feature quality needs real weights).
     vit_weights: Optional[str] = None
     # Compute dtype for the frozen ViT tower ("bfloat16" rides the MXU at 2x;
-    # layernorm/softmax/gram stay fp32 regardless).
+    # layernorm/softmax/gram stay fp32 regardless). With "float32" the Pallas
+    # attention kernels decline and attention rides XLA — the kernels' VMEM
+    # tiling is sized for bf16 and fp32 spills it (measured 6.5x e2e slower
+    # on the fp32 inversion path; see ops/attention.py _kernel_dtype_ok).
     vit_compute_dtype: str = "bfloat16"
     # Compute dtype for the generator convs. fp32 conv is ~8x slower on the
     # TPU MXU and the full-res generator dominates the step; params stay

@@ -607,11 +607,31 @@ _pallas_attention_qkv.defvjp(_pallas_attention_qkv_fwd,
 _QKV_MAX_N_PAD = 2048
 
 
+def _mosaic_backend() -> bool:
+    """True when Pallas kernels compile via Mosaic (any non-CPU backend);
+    False in the CPU interpret mode tests and the virtual-mesh dryrun use."""
+    return jax.default_backend() != "cpu"
+
+
+def _kernel_dtype_ok(dtype) -> bool:
+    """The kernels are bf16-by-design: every VMEM budget (_LOGITS_VMEM_
+    BUDGET, _BWD_LOGITS_VMEM_BUDGET, the fused-qkv two-head footprint) is
+    sized for bf16 operands. fp32 operands double the live tiles and spill
+    the Mosaic VMEM allocation — measured on the fp32 inversion path
+    (tools/inversion.py, N=981): 1.49 iters/s with the kernels vs 9.69
+    with XLA attention, a 6.5x e2e loss. On Mosaic backends fp32 therefore
+    routes to the XLA path; in CPU interpret mode (tests, dryrun) any
+    dtype exercises the kernel logic."""
+    return dtype == jnp.bfloat16 or not _mosaic_backend()
+
+
 def qkv_attention_supported(qkv, num_heads: int) -> bool:
     B, N, threeD = qkv.shape
     D = threeD // 3
     if D % num_heads or D // num_heads != 64 or D % 128:
         return False                   # exactly two dh=64 heads per chunk
+    if not _kernel_dtype_ok(qkv.dtype):
+        return False
     return pl.cdiv(N, 8) * 8 <= _QKV_MAX_N_PAD
 
 
@@ -643,6 +663,8 @@ def attention_from_qkv(qkv, num_heads: int, scale: float,
 def pallas_attention_supported(q) -> bool:
     B, H, N, dh = q.shape
     if dh % 64 != 0:
+        return False
+    if not _kernel_dtype_ok(q.dtype):
         return False
     return pl.cdiv(N, 128) * 128 <= _MAX_N_PAD
 

@@ -70,6 +70,24 @@ class TestPallasMatchesXla:
         out = att.multi_head_attention(q, k, v, 0.1, use_pallas=True)
         assert out.shape == q.shape
 
+    def test_fp32_routes_to_xla_on_mosaic_backends(self, monkeypatch):
+        """On hardware the kernels decline fp32 operands (their VMEM
+        budgets are sized for bf16; fp32 spills — measured 6.5x e2e on the
+        fp32 inversion path) while bf16 stays on the kernel. In CPU
+        interpret mode (this suite, the multichip dryrun) any dtype
+        exercises the kernel logic."""
+        q32, _, _ = _rand_qkv(jax.random.PRNGKey(6))
+        q16 = q32.astype(jnp.bfloat16)
+        qkv32 = jnp.zeros((2, 100, 3 * 128), jnp.float32)  # 2 dh=64 heads
+        # interpret mode: both dtypes supported
+        assert att.pallas_attention_supported(q32)
+        assert att.pallas_attention_supported(q16)
+        monkeypatch.setattr(att, "_mosaic_backend", lambda: True)
+        assert not att.pallas_attention_supported(q32)
+        assert att.pallas_attention_supported(q16)
+        assert not att.qkv_attention_supported(qkv32, 2)
+        assert att.qkv_attention_supported(qkv32.astype(jnp.bfloat16), 2)
+
 
 class TestFusedQkvAttention:
     """attention_from_qkv: the hot path that reads the raw [B, N, 3D] qkv
