@@ -66,7 +66,10 @@ def config_a(quick: bool) -> dict:
     return {"config": "a_default_224", "steps_per_sec":
             round(_steady_rate(cfg, n_chunks=2 if quick else 4), 3),
             "unit": "steps/s",
-            "detail": "cows pair, dino_vitb8, n_crops=1, full-res generator"}
+            "detail": "cows pair, dino_vitb8, n_crops=1, full-res generator. "
+                      "Same workload as `bench.py`, shorter window (40 steps "
+                      "vs 200 x 2 seeds) — `bench.py`'s number is the "
+                      "authoritative headline; a ~2% gap is window noise"}
 
 
 def config_b(quick: bool) -> dict:
@@ -93,7 +96,7 @@ def config_c(quick: bool) -> dict:
     extractor = trainer.make_extractor_from_config(cfg)
     extractor = dc.replace(
         extractor, params=mesh_lib.shard_vit_params(extractor.params, mesh))
-    program = build_multi_pair_program(cfg, extractor, mesh, 224, 224)
+    program = build_multi_pair_program(cfg, extractor, mesh, 224)
     batch = load_pair_batch(cfg, [COWS, ORANGES] * 4, 224)
     shard = mesh_lib.dp_sharding(mesh)
     As = jax.device_put(batch["A"], shard)
@@ -123,7 +126,10 @@ def config_c(quick: bool) -> dict:
             "steps_per_sec": round(steps / wall, 3),
             "unit": "pair-steps/s",
             "detail": f"8 pairs in one compiled chunked step, mesh dp={dp} "
-                      f"({n_dev} device(s) visible)"}
+                      f"({n_dev} device(s) visible — dp>1/tp>1 have never "
+                      "run on real multi-chip hardware; they are validated "
+                      "on the 8-device virtual CPU mesh and the driver's "
+                      "`dryrun_multichip` only)"}
 
 
 def config_d(quick: bool) -> dict:
