@@ -8,6 +8,12 @@ ops like while/call/fusion parents have their nested children's time
 subtracted — and prints the top lines aggregated by HLO op-name prefix and
 by source file:line (when present in event args). n_steps divides totals
 into per-step ms.
+
+Reading the op names: they derive from JAX trace scopes, not HLO
+semantics — custom-vjp Pallas kernels invoked in the backward pass show
+up as `transpose_jvp_vmap____*` (transpose-of-jvp = VJP). Check the
+event's hlo_category (custom-call vs transpose) before reading such a
+line as a layout transpose; round 5 burned time on exactly this.
 """
 import collections
 import gzip

@@ -248,15 +248,19 @@ def _make_conv_kernel(k: int, ht: int, kpack: bool, has_pro: bool,
     return kernel
 
 
-def _same_col_masks(k: int, wp: int, w0: int, L: int, dtype):
-    """[k, L] 0/1 lane masks for SAME mode + per-tap needed flags.
+def _same_col_masks(k: int, wp: int, w0: int, L: int, dtype,
+                    off0: Optional[int] = None):
+    """[k, L] 0/1 lane masks + per-tap needed flags.
 
-    Rolled-slab lane c of tap dx (offset o = dx-(k-1)//2) holds input
-    column (c % wp) + o; the mask is 1 iff that column is inside the
-    valid width [0, w0) — zeroing both the roll's row-boundary wrap and
-    any lane-alignment padding columns (which, under the fused prologue,
-    are NOT zero after normalize+activate)."""
-    p = (k - 1) // 2
+    Rolled-slab lane c of tap dx (offset o = dx + off0, default SAME
+    off0 = -(k-1)//2) holds input column (c % wp) + o; the mask is 1 iff
+    that column is inside the valid width [0, w0) — zeroing both the
+    roll's row-boundary wrap and any lane-alignment padding columns
+    (which, under the fused prologue, are NOT zero after
+    normalize+activate). The VALID-mode gtap dw passes off0=0 and
+    w0=wp: only the roll wraps need killing there (every real column is
+    valid; see _dw_gtap_impl)."""
+    p = -off0 if off0 is not None else (k - 1) // 2
     col = jnp.arange(L, dtype=jnp.int32) % wp
     rows, needed = [], []
     for dx in range(k):
@@ -518,9 +522,20 @@ def _make_dw_kernel_gtap(k: int, ht: int, has_pro: bool, negslope: float,
 def _dw_gtap_impl(xp: jax.Array, g: jax.Array, k: int,
                   scale: Optional[jax.Array],
                   shift: Optional[jax.Array],
-                  negslope: float) -> jax.Array:
-    """Tap-on-N dw (SAME mode only): grid over xp's row-padded rows,
-    g tapped with reversed offsets. See _make_dw_kernel_gtap."""
+                  negslope: float, same: bool = True) -> jax.Array:
+    """Tap-on-N dw: grid over xp's row-padded rows, g tapped with
+    reversed offsets. See _make_dw_kernel_gtap.
+
+    same=False (VALID mode, round 5): xp is FULLY pre-padded (rows and
+    columns), g is the valid [B, Cout, Ho, Wo] cotangent.
+    dw[dy,dx,ci,co] = sum_{r,c} z[ci,r,c] * g[co, r-dy, c-dx], so g is
+    zero-padded k-1 on top AND left and tap (dy', dx') = (k-1-dy, k-1-dx)
+    rolls left by dx' >= 0 (off0 = 0). The only masking needed is the
+    roll's row-boundary wrap (w0 = wp in _same_col_masks): every real
+    column is valid, and z columns beyond wp0 multiply gp2's zero
+    right-padding. This restores the round-4 tap-on-N pass reduction
+    (up_conv 36->16: 3 MXU passes -> 2) on the VALID default path —
+    the routing was silently lost when SAME_BORDER_KERNELS flipped off."""
     B, cin, hp, wp0 = xp.shape
     cout = g.shape[1]
     ho = hp - k + 1
@@ -533,13 +548,20 @@ def _dw_gtap_impl(xp: jax.Array, g: jax.Array, k: int,
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, n_tiles * ht - hp), (0, 0)))
     # gp2[rr + dy'] = g[rr - (k-1-dy')]: top-pad k-1 rows; bottom-pad to
     # the slab need (tile rows + k-1 halo rows).
-    gp2 = jnp.pad(g, ((0, 0), (0, 0), (k - 1, n_tiles * ht - ho),
-                      (0, wp - g.shape[3])))
-    ghalo = _halo(gp2, ht, n_tiles, k)
-    off0 = -(k - 1) // 2
     L = (ht + k - 1) * wp
-    cmask, mask_taps = _same_col_masks(k, wp, wp0, L, xp.dtype)
-    zmask = wp0 < wp
+    if same:
+        gp2 = jnp.pad(g, ((0, 0), (0, 0), (k - 1, n_tiles * ht - ho),
+                          (0, wp - g.shape[3])))
+        off0 = -(k - 1) // 2
+        cmask, mask_taps = _same_col_masks(k, wp, wp0, L, xp.dtype)
+        zmask = wp0 < wp
+    else:
+        gp2 = jnp.pad(g, ((0, 0), (0, 0), (k - 1, n_tiles * ht - ho),
+                          (k - 1, wp - (k - 1) - g.shape[3])))
+        off0 = 0
+        cmask, mask_taps = _same_col_masks(k, wp, wp, L, xp.dtype, off0=0)
+        zmask = False
+    ghalo = _halo(gp2, ht, n_tiles, k)
     has_pro = scale is not None
     kernel = _make_dw_kernel_gtap(
         k, ht, has_pro, negslope, off0,
@@ -599,9 +621,9 @@ def _gtap_better(k: int, cin: int, cout: int) -> bool:
     return gtap < xtap
 
 
-# Route SAME-mode dw through the tap-on-N kernel where it reduces MXU
-# passes (see _make_dw_kernel_gtap). Ablation knob, measured e2e
-# (PERFORMANCE.md).
+# Route dw (both SAME and VALID modes) through the tap-on-N kernel where
+# it reduces MXU passes (see _make_dw_kernel_gtap). Ablation knob,
+# measured e2e (PERFORMANCE.md).
 DW_TAP_ON_N = True
 
 
@@ -615,8 +637,15 @@ def _dw_impl(xp: jax.Array, g: jax.Array, k: int,
     borders come from the in-kernel masked rolls (see _conv_fwd_impl)."""
     B, cin, hp, wp0 = xp.shape
     cout = g.shape[1]
+    # Tap-on-N routes the SAME path only. The VALID-mode gtap
+    # (_dw_gtap_impl same=False) is implemented, correct, and unit-tested
+    # — and a MEASURED NEGATIVE e2e (round 5, 200-step ablations, two
+    # runs each): both big sites on gtap 31.59 steps/s, only the 5->3
+    # pass [612,32] site 31.87, x-tap everywhere 31.97. The pass saving
+    # the trace predicted is eaten by tapping/rolling the big g slab and
+    # the extra cotangent pad; see PERFORMANCE.md negative results.
     if same and k > 1 and DW_TAP_ON_N and _gtap_better(k, cin, cout):
-        return _dw_gtap_impl(xp, g, k, scale, shift, negslope)
+        return _dw_gtap_impl(xp, g, k, scale, shift, negslope, same=same)
     ho = hp - k + 1
     wp = ((wp0 + 127) // 128) * 128
     if wp > wp0:

@@ -129,13 +129,22 @@ class TestDwTapOnN:
     """Shapes where _gtap_better picks the tap-on-N dw kernel (cin >>
     cout, e.g. the up_conv 36->16 flagship site class): weight/input
     grads must match the XLA reference exactly, plain and with the fused
-    BN prologue, at lane-exact and lane-padded widths."""
+    BN prologue, at lane-exact and lane-padded widths.
 
-    @pytest.mark.parametrize("w0", [128, 40])
+    Production dispatch routes tap-on-N on the SAME path only (the
+    VALID-mode gtap is a measured e2e negative, kept implemented and
+    tested below); the dispatch-level tests here therefore exercise
+    SAME-gtap when SAME kernels are on and x-tap otherwise, at
+    wrap-stressing widths either way."""
+
+    @pytest.mark.parametrize("w0", [128, 40, 126])
     def test_plain_grads(self, w0):
-        assert cp._gtap_better(3, 20, 2)
+        """w0=126: the VALID pre-pad lands on a lane-exact 128 width, so
+        the kernels' lane-rolls wrap across row boundaries into REAL
+        pixels — the case the wrap masks exist for (round 5)."""
+        assert cp._gtap_better(3, 40, 2)
         rng = np.random.default_rng(50 + w0)
-        cin, cout = 20, 2
+        cin, cout = 40, 2
         x = jnp.asarray(rng.standard_normal((1, cin, 11, w0)), jnp.float32)
         p = _params(rng, 3, cin, cout, bias=False)
         xn = jnp.transpose(x, (0, 2, 3, 1))
@@ -152,12 +161,55 @@ class TestDwTapOnN:
             np.asarray(jnp.transpose(gx_pal, (0, 2, 3, 1))),
             np.asarray(gx_ref), atol=1e-3, rtol=1e-3)
 
+    @pytest.mark.parametrize("w0", [128, 40, 126])
+    def test_valid_gtap_impl_matches_xtap(self, w0):
+        """The VALID-mode tap-on-N dw (_dw_gtap_impl same=False) is a
+        measured e2e NEGATIVE (round 5: 31.59/31.87 vs 31.97 steps/s) so
+        production dispatch never routes it — but the implementation
+        stays, and this pins its numerics to the x-tap form at
+        lane-padded, lane-exact-after-prepad (w0=126, where left-rolls
+        wrap into real pixels), and lane-exact widths."""
+        rng = np.random.default_rng(90 + w0)
+        k, cin, cout = 3, 40, 2
+        xp = jnp.asarray(rng.standard_normal((1, cin, 13, w0 + k - 1)),
+                         jnp.float32)
+        g = jnp.asarray(rng.standard_normal((1, cout, 11, w0)), jnp.float32)
+        ref = cp._dw_impl(xp, g, k)                    # x-tap form
+        got = cp._dw_gtap_impl(xp, g, k, None, None, 0.2, same=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("same_kernels", [False, True])
+    def test_reflection_pad_grads(self, same_kernels, monkeypatch):
+        """Reflection pad puts NONZERO values in the pre-pad ring, so the
+        VALID gtap correctness cannot lean on zero borders anywhere.
+        Covers both dispatch modes (SAME kernels route reflection to the
+        VALID path either way, but pin the flag to be explicit)."""
+        monkeypatch.setattr(cp, "SAME_BORDER_KERNELS", same_kernels)
+        rng = np.random.default_rng(77)
+        cin, cout = 40, 2
+        x = jnp.asarray(rng.standard_normal((1, cin, 10, 126)), jnp.float32)
+        p = _params(rng, 3, cin, cout, bias=False)
+        gp_ref, gx_ref = jax.grad(
+            lambda p, x: jnp.sum(
+                unet.conv2d_chw(x, p, 1, pad="reflection") ** 2),
+            argnums=(0, 1))(p, x)
+        gp_pal, gx_pal = jax.grad(
+            lambda p, x: jnp.sum(
+                cp.pallas_conv_chw(x, p, 1, pad="reflection") ** 2),
+            argnums=(0, 1))(p, x)
+        np.testing.assert_allclose(np.asarray(gp_pal["kernel"]),
+                                   np.asarray(gp_ref["kernel"]),
+                                   atol=1e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gx_pal), np.asarray(gx_ref),
+                                   atol=1e-3, rtol=1e-3)
+
     @pytest.mark.parametrize("w0", [128, 40])
     def test_fused_prologue_grads(self, w0):
         """The z lane mask matters here: under the prologue, padding
         lanes hold leaky(shift) != 0 and would otherwise leak into dw."""
         rng = np.random.default_rng(60 + w0)
-        cin, cout = 20, 2
+        cin, cout = 40, 2
         x = jnp.asarray(rng.standard_normal((1, cin, 9, w0)), jnp.float32)
         p = _params(rng, 3, cin, cout, bias=False)
         scale = jnp.asarray(rng.random(cin) + 0.5, jnp.float32)
