@@ -41,6 +41,8 @@ for mode in sys.argv[1:]:
         conv_pallas.DW_TAP_ON_N = False
     elif mode == "padstream":
         vit.PAD_TOKEN_STREAM = True
+    elif mode == "xlaattn":
+        cfg_extra["use_pallas_attention"] = False
     elif mode.startswith("tb"):
         conv_pallas.TILE_BUDGET_BYTES = int(mode[2:]) * 1024 * 1024
     else:
@@ -50,10 +52,10 @@ from splice_tpu import trainer
 from splice_tpu.config import load_config
 from splice_tpu.data import load_pair
 
-cfg = load_config(None, dict(
+cfg = load_config(None, {**dict(
     dataroot="datasets/splicing/cows", seed=3,
     vit_compute_dtype="bfloat16", use_pallas_attention=True,
-    remat_vit=True, **cfg_extra))
+    remat_vit=True), **cfg_extra})
 pair = load_pair(cfg)
 extractor = trainer.make_extractor_from_config(cfg)
 program = trainer.build_program(cfg, pair, extractor)
