@@ -43,6 +43,10 @@ for mode in sys.argv[1:]:
         vit.PAD_TOKEN_STREAM = True
     elif mode == "xlaattn":
         cfg_extra["use_pallas_attention"] = False
+    elif mode.startswith("cu"):
+        pass  # applied below, after trainer import
+    elif mode.startswith("bu"):
+        vit.BLOCK_SCAN_UNROLL = int(mode[2:])
     elif mode.startswith("tb"):
         conv_pallas.TILE_BUDGET_BYTES = int(mode[2:]) * 1024 * 1024
     else:
@@ -51,6 +55,10 @@ for mode in sys.argv[1:]:
 from splice_tpu import trainer
 from splice_tpu.config import load_config
 from splice_tpu.data import load_pair
+
+for mode in sys.argv[1:]:
+    if mode.startswith("cu"):
+        trainer.CHUNK_SCAN_UNROLL = int(mode[2:])
 
 cfg = load_config(None, {**dict(
     dataroot="datasets/splicing/cows", seed=3,

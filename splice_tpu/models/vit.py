@@ -204,6 +204,9 @@ PAD_TOKEN_STREAM = False
 # (centered input + inv: the f32 [B,N,D] saves cost ~230 MB/step of
 # remat-stack traffic). Ablation knob, measured e2e (PERFORMANCE.md).
 SAVE_LN_STATS = "mean"
+# Unroll factor for the pre-tap block scan (ablate.py `bu<N>`); unroll=2
+# measured 30.65 vs 31.96 steps/s (PERFORMANCE.md negative results).
+BLOCK_SCAN_UNROLL = 1
 
 
 def _dense(x, p):
@@ -591,7 +594,8 @@ def vit_forward(params: Dict[str, Any], images: jax.Array, cfg: VitConfig,
                             n_valid)
             return h, None
 
-        x, _ = jax.lax.scan(scan_body, x, stacked)
+        x, _ = jax.lax.scan(scan_body, x, stacked,
+                            unroll=BLOCK_SCAN_UNROLL)
         start = n_scan
     for i in range(start, max_layer + 1):
         want = tuple(sorted(k for k, layers in taps.items() if i in layers))

@@ -212,6 +212,10 @@ def device_lr_fn(cfg: Config) -> Optional[Callable]:
 # Step builder
 # ---------------------------------------------------------------------------
 
+# Unroll factor for the chunk's step scan (ablate.py `cu<N>`); unroll=2
+# measured 30.29 vs 31.96 steps/s (PERFORMANCE.md negative results).
+CHUNK_SCAN_UNROLL = 1
+
 LOSS_NAMES = ("loss_global_cls", "loss_global_ssim", "loss_global_id_B",
               "loss_entire_cls", "loss_entire_ssim")
 LAMBDA_ORDER = ("lambda_global_cls", "lambda_global_ssim",
@@ -363,7 +367,8 @@ def build_program(cfg: Config, pair: ImagePair,
                              lam, entire=False)
             return st, parts
 
-        state, parts_seq = jax.lax.scan(body, state, jnp.arange(n))
+        state, parts_seq = jax.lax.scan(body, state, jnp.arange(n),
+                                        unroll=CHUNK_SCAN_UNROLL)
         parts = jax.tree.map(lambda x: x[-1], parts_seq)
         # Per-step totals for the whole chunk: the plateau scheduler must
         # observe EVERY step's loss (torch ReduceLROnPlateau steps per
